@@ -1,0 +1,45 @@
+"""Inverted-index build — the reference indexer re-expressed as one
+aggregation (SURVEY.md §3.3, A4/A5).
+
+Reference: per-doc token loop accumulating frequency + a CSV string of
+positions, row-at-a-time SQLite inserts (processing.py:101-121). Here:
+tokenize → posexplode → groupBy(word, doc) → count + sorted position
+array. Spark gives partial (map-side) aggregation and batch writes for
+free; the CSV `indexes` column becomes a real array<int>.
+
+Scale: the groupBy shuffles on (word, doc) — high cardinality, well
+distributed; hot words (stopwords are already filtered, F12) don't
+concentrate because doc is part of the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webcrawler_spark.functions.text import STOPWORDS_EN, remove_stopwords, tokens
+
+
+def build_postings(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+) -> DataFrame:
+    """postings(doc, word, frequency, positions) — positions are 0-based
+    token indices *after* stopword removal, mirroring the reference which
+    indexes positions in its filtered token list (processing.py:101-116)."""
+    tok = remove_stopwords(tokens(F.col(text_col)), stopwords)
+    return (
+        docs.select(F.col(doc_col).alias("doc"), F.posexplode(tok).alias("pos", "word"))
+        .groupBy("doc", "word")
+        .agg(
+            F.count("*").cast("int").alias("frequency"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+
+
+def vocabulary(postings: DataFrame) -> DataFrame:
+    """A5: IndexWord — distinct vocabulary."""
+    return postings.select("word").distinct()

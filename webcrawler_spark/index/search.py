@@ -1,0 +1,61 @@
+"""Search over the inverted index (SURVEY.md §3.3: J7 + A6 + O3 + W3).
+
+Reference: one SQLite SELECT per query term, per-doc merge in Python,
+score = Σ frequency, snippets re-read the source file and slice ±3 tokens
+around each position (run-sqlite-search.py:24-55; processing.py:123-134 —
+the slice end is exclusive ⇒ 3 before + 2 after + self).
+
+Here: broadcast the tiny term list into the postings (J7), one groupBy
+per doc (A6), order by score (O3); snippets come from the stored token
+array + positions — no re-read of source documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from webcrawler_spark.functions.text import STOPWORDS_EN, remove_stopwords, tokens
+
+
+def search(
+    spark: SparkSession, postings: DataFrame, query: str
+) -> DataFrame:
+    """score(doc) = Σ frequency over matched terms, descending (A6/O3)."""
+    terms = [t for t in query.lower().split(" ") if t]
+    terms_df = spark.createDataFrame([(t,) for t in terms], "word string")
+    return (
+        postings.join(F.broadcast(terms_df), "word", "inner")   # J7
+        .groupBy("doc")
+        .agg(
+            F.sum("frequency").cast("long").alias("score"),
+            F.sort_array(F.flatten(F.collect_list("positions"))).alias("all_positions"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc"))
+    )
+
+
+def snippets(
+    docs: DataFrame,
+    hits: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+) -> DataFrame:
+    """W3: ±3-token context per hit position — exclusive slice end, so
+    3 before + self + 2 after, joined with ' ... ' (processing.py:123-134)."""
+    tok = remove_stopwords(tokens(F.col(text_col)), stopwords)
+    d = docs.select(F.col(doc_col).alias("doc"), tok.alias("toks"))
+    j = hits.join(d, "doc", "inner")
+    frag = F.transform(
+        F.col("all_positions"),
+        lambda p: F.concat_ws(
+            " ",
+            F.slice(
+                F.col("toks"),
+                F.greatest(p - 2, F.lit(1)),           # 1-based: pos-3 .. pos+2
+                F.when(p - 2 < 1, p + 3).otherwise(F.lit(6)),
+            ),
+        ),
+    )
+    return j.select("doc", "score", F.concat_ws(" ... ", frag).alias("snippet"))

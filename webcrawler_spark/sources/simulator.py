@@ -1,0 +1,254 @@
+"""Reference-semantics crawl simulator — the golden oracle.
+
+A single-threaded Python re-statement of the reference crawler's dequeue
+rule (WebCrawler.java:152-202), admission predicate (:391-414), politeness
+reservation (:182-185), redirect chase (:346-358), content dedup
+(:230-250) and image recording (:300-309), run on a *logical clock*
+(SURVEY.md §5: the reference's own ordering is wall-clock/thread-
+nondeterministic, so "matching the reference's crawl ordering" is defined
+against this serialization).
+
+No code is shared with the Spark engine except the pure canonicalization
+helpers (which both sides must agree on by construction) — the engine is
+validated by comparing its outputs against this independently-written
+loop.
+
+Semantics decisions (documented deviations, each quantized to the logical
+clock):
+* the 1 s sleep-and-rescan (:195-201) becomes "advance the clock one tick";
+  all crawl delays in fixtures are multiples of the 5 s tick, so permitted
+  times always land on tick boundaries and the serialization is exact.
+* redirect landing on an out-of-containment host → URL consumed, no page
+  row (mirrors the re-check at :218-221 abandoning the iteration).
+* redirect landing on an already-visited URL → consumed, nothing stored.
+* depth>3 / cycle in the redirect chase → page stored with the redirect
+  status and no expansion (:350-351 visited-guard).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from webcrawler_spark.functions.mime import image_mime_py
+from webcrawler_spark.functions.urls import (
+    canonicalize_url_py,
+    in_containment_py,
+    is_binary_extension_py,
+    is_rejected_scheme_py,
+    url_host_py,
+)
+
+TICK_MS = 5000  # DEFAULT_DELAY, WebCrawler.java:34
+MAX_REDIRECT_DEPTH = 3
+
+
+@dataclass
+class SimResult:
+    trace: list = field(default_factory=list)    # (time_ms, seq, url, host)
+    pages: dict = field(default_factory=dict)    # url -> dict(type,status,time,seq)
+    links: list = field(default_factory=list)    # (from_url, to_url)
+    images: list = field(default_factory=list)   # (page_url, src, content_type)
+    seen: set = field(default_factory=set)       # all admitted-or-visited URLs
+
+    def trace_df(self) -> pd.DataFrame:
+        return pd.DataFrame(self.trace, columns=["time_ms", "seq", "url", "host"])
+
+    def pages_df(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {"url": u, **v}
+                for u, v in self.pages.items()
+            ]
+        )
+
+
+def _robots_maps(robots: pd.DataFrame):
+    """host → (disallow_prefixes, delay_ms). HTML-page robots are rejected
+    (WebCrawler.java:108-112) ⇒ treated as absent; crawl-delay 0 falls back
+    to the default (:178-179)."""
+    dis, delay = {}, {}
+    for _, r in robots.iterrows():
+        if bool(r.get("is_html_page", False)):
+            continue
+        dis[r["host"]] = list(r["disallow_prefixes"] or [])
+        d = r.get("crawl_delay_s")
+        delay[r["host"]] = int(d) * 1000 if d and int(d) > 0 else TICK_MS
+    return dis, delay
+
+
+def _path_of(url: str) -> str:
+    rest = url.split("://", 1)[-1]
+    slash = rest.find("/")
+    return rest[slash:] if slash >= 0 else "/"
+
+
+def simulate(
+    webgraph: pd.DataFrame,
+    robots: pd.DataFrame,
+    seeds: list[str],
+    seed_domains: tuple[str, ...] = ("gov.si",),
+    max_pages: int | None = None,
+    max_rounds: int = 10_000,
+) -> SimResult:
+    wg = {r["url"]: r for r in webgraph.to_dict("records")}
+    host_ip = {}
+    for r in webgraph.itertuples():
+        host_ip.setdefault(r.host, r.ip)
+    disallow, delay_ms = _robots_maps(robots)
+
+    res = SimResult()
+    frontier: list[tuple[int, str]] = []  # (seq, url), insertion-ordered
+    permitted: dict[tuple[str, str], int] = {}  # ("d",host)/("i",ip) -> ms
+    seq_counter = 0
+    stored = 0  # non-FRONTIER pages, the reference's pageCount (:147)
+    content_map: dict[str, str] = {}  # exact text → first-writer URL (J5/W2)
+
+    def ip_of(host: str | None) -> str:
+        return host_ip.get(host, "0.0.0.0")
+
+    def robots_allows(host: str | None, url: str) -> bool:
+        prefixes = disallow.get(host)
+        if not prefixes:
+            return True
+        path = _path_of(url)
+        return not any(path.startswith(p) for p in prefixes)
+
+    for s in seeds:
+        c = canonicalize_url_py(s)
+        frontier.append((seq_counter, c))
+        res.seen.add(c)
+        res.pages[c] = {"page_type_code": "FRONTIER", "status": None,
+                        "time_ms": None, "seq": seq_counter}
+        seq_counter += 1
+
+    now = 0
+    rounds = 0
+    while frontier and rounds < max_rounds:
+        if max_pages is not None and stored >= max_pages:
+            break
+        # scan for first politeness-eligible URL (WebCrawler.java:163-191)
+        pick_i = None
+        for i, (sq, u) in enumerate(frontier):
+            h = url_host_py(u)
+            if permitted.get(("d", h), 0) <= now and permitted.get(("i", ip_of(h)), 0) <= now:
+                pick_i = i
+                break
+        if pick_i is None:
+            now += TICK_MS  # sleep-and-rescan, quantized
+            rounds += 1
+            continue
+
+        sq, url = frontier.pop(pick_i)
+        h = url_host_py(url)
+        d = delay_ms.get(h, TICK_MS)
+        # reservation at dequeue, stamped on BOTH keys (:182-185)
+        permitted[("d", h)] = now + d
+        permitted[("i", ip_of(h))] = now + d
+        res.trace.append((now, sq, url, h))
+
+        # --- redirect chase (:346-358) ---
+        landed, chain, depth = url, {url}, 0
+        loop_hit = False
+        while landed in wg and wg[landed]["redirect_to"] is not None:
+            nxt = canonicalize_url_py(wg[landed]["redirect_to"])
+            depth += 1
+            if nxt in chain or depth > MAX_REDIRECT_DEPTH:
+                loop_hit = True
+                break
+            chain.add(nxt)
+            res.seen.add(nxt)  # intermediates marked seen (:348,353)
+            landed = nxt
+
+        if loop_hit:
+            res.pages[url] = {"page_type_code": "HTML", "status": 301,
+                              "time_ms": now, "seq": sq}
+            stored += 1
+            continue
+
+        if landed != url:
+            lh = url_host_py(landed)
+            if not in_containment_py(lh, seed_domains):
+                res.pages.pop(url, None)
+                continue  # containment re-check on the landed URL (:218-221)
+            if landed in res.pages and res.pages[landed]["page_type_code"] != "FRONTIER":
+                res.pages.pop(url, None)
+                continue  # already visited
+            res.pages.pop(url, None)
+            url, h = landed, lh
+
+        # already visited (possible when an earlier redirect landed here):
+        # pick consumed, nothing stored
+        if res.pages.get(url, {"page_type_code": "FRONTIER"})["page_type_code"] != "FRONTIER":
+            continue
+
+        row = wg.get(url)
+        if row is None:
+            res.pages[url] = {"page_type_code": "HTML", "status": 404,
+                              "time_ms": now, "seq": sq}
+            stored += 1
+            continue
+
+        if row["content_type"] != "text/html":
+            res.pages[url] = {"page_type_code": "BINARY", "status": int(row["status"]),
+                              "time_ms": now, "seq": sq}
+            stored += 1
+            continue
+
+        # --- content dedup: exact match on collapsed text (:230-250).
+        # The reference scans every stored content (DatabaseHandler.java:
+        # 154-169); a dict keyed by the exact text is semantically identical.
+        text = row["text_norm"]
+        original = content_map.get(text) if text is not None else None
+        if original is not None:
+            res.pages[url] = {"page_type_code": "DUPLICATE", "status": int(row["status"]),
+                              "time_ms": now, "seq": sq}
+            res.links.append((url, original))
+            stored += 1
+            continue
+
+        res.pages[url] = {"page_type_code": "HTML", "status": int(row["status"]),
+                          "time_ms": now, "seq": sq}
+        if text is not None:
+            content_map[text] = url
+        stored += 1
+
+        # --- expansion: admission predicate (:391-414) ---
+        batch: list[str] = []
+        batch_set: set[str] = set()
+        for raw in row["out_links"]:
+            if is_rejected_scheme_py(raw):
+                continue
+            c = canonicalize_url_py(raw)
+            if not c:
+                continue
+            ch = url_host_py(c)
+            if ch is None or not in_containment_py(ch, seed_domains):
+                continue
+            if is_binary_extension_py(c):
+                continue
+            if c in batch_set or c in res.seen:
+                continue
+            if not robots_allows(ch, c):
+                continue
+            batch.append(c)
+            batch_set.add(c)
+        for c in batch:
+            frontier.append((seq_counter, c))
+            res.seen.add(c)
+            res.pages[c] = {"page_type_code": "FRONTIER", "status": None,
+                            "time_ms": None, "seq": seq_counter}
+            res.links.append((url, c))
+            seq_counter += 1
+
+        # --- images: src-only records, data: URIs skipped (:300-309) ---
+        for src in row["img_srcs"]:
+            if src.startswith("data"):
+                continue
+            ext = src.rsplit(".", 1)[-1] if "." in src.rsplit("/", 1)[-1] else ""
+            res.images.append((url, src, image_mime_py(ext)))
+
+        res.seen.add(url)
+
+    return res
