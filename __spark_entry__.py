@@ -1,38 +1,685 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship crawl query at sf0.001.
+``queries()``   — one callable per implemented operator from SURVEY.md §2
+                  plus the training-pipeline additions (dedup families,
+                  similarity search, text analysis, multimodal).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every SQL-expressible
+                  query, value-for-value (column names aligned, doubles
+                  rounded, arrays sorted deterministically). Non-SQL ops
+                  (crawl engine vs its own simulator oracle, image
+                  invariants) are rows-only here but fully asserted in
+                  tests/ (engine↔simulator equality, per-row invariants).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from webcrawler_spark.dedup import embedding as _emb
+from webcrawler_spark.dedup import exact as _exact
+from webcrawler_spark.dedup import minhash as _minhash
+from webcrawler_spark.dedup import ngram as _ngram
+from webcrawler_spark.dedup import simhash as _simhash
+from webcrawler_spark.functions.hashing import PORTABLE_HASH64_DUCKDB
+from webcrawler_spark.functions.text import (
+    STOPWORDS_EN,
+    TOKEN_SPLIT_RE,
+    lang_id,
+    quality_score,
+    token_count,
+    tokens,
+)
+from webcrawler_spark.index.build import build_postings
+from webcrawler_spark.index.search import search as _search
+from webcrawler_spark.similarity.ann import brute_force_topk
+from webcrawler_spark.streaming.events import sessionize, tumbling_counts
+from webcrawler_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments shared across oracles (identical arithmetic to the
+# Catalyst expressions in webcrawler_spark.functions.text / hashing)
+# ---------------------------------------------------------------------------
+_DUCK_TOKS = (
+    "list_filter(regexp_split_to_array(lower({col}), '" + TOKEN_SPLIT_RE + "'), t -> t <> '')"
+)
+_DUCK_FP = PORTABLE_HASH64_DUCKDB.format(
+    col="lower(regexp_replace(text, '\\s{{2,}}', ' ', 'g'))"
+)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship over /root/testdata/sf0.001 (per the driver contract): the
+    crawl-engine-shaped analytics stack on the documents corpus — exact
+    dedup fingerprinting (J5/W2), token counts (X14), language-ID and
+    quality scores, joined into one per-document summary with a duplicate
+    flag — i.e. the training-data curation pass the engine runs over
+    fetched pages at scale."""
+    from webcrawler_spark.functions.text import fingerprint64
+
+    sf = "/root/testdata/sf0.001"
+    d = load(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        fingerprint64(F.col("text")).alias("fingerprint"),
+        token_count(F.col("text")).alias("n_tokens"),
+        lang_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        scored.withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("is_duplicate", F.col("dup_rank") > 1)
+        .drop("dup_rank")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def _q_counts_by_type(spark, sf):
+    # A2/A3: counts by type code (sql_selects.sql:6-12 shape) over events
+    return (
+        load(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_recent_events(spark, sf):
+    # O1: ORDER BY accessed_time DESC (sql_selects.sql:14 shape)
+    return (
+        load(spark, sf, "events")
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .select("event_id", "ts", "event_type")
+        .limit(100)
+    )
+
+
+def _q_link_join(spark, sf):
+    # J1: edge ⋈ vertex equi-join (sql_selects.sql:16-21 shape):
+    # orders⋈customer with per-customer order counts
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .orderBy(F.desc("n_orders"), F.asc("c_custkey"))
+        .limit(50)
+    )
+
+
+def _q_anti_join(spark, sf):
+    # J2: the workhorse LEFT ANTI dedup join — customers with no orders
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def _q_semi_join(spark, sf):
+    # J7: broadcast semi join — parts that appear in lineitem with size>40
+    p = load(spark, sf, "part").filter(F.col("p_size") > 40)
+    li = load(spark, sf, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .select("p_partkey", "p_name", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+def _q_frontier_pick(spark, sf):
+    # W1: per-host FIFO pick — row_number over (partition by key order by seq);
+    # orders stands in for the frontier, o_custkey for host
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
+        .orderBy("o_custkey")
+    )
+
+
+def _q_first_writer_dedup(spark, sf):
+    # W2/J5: first-writer-wins exact-content dedup groups over documents
+    return _exact.dedup_groups(load(spark, sf, "documents")).orderBy("canonical_id")
+
+
+def _q_tpch_q1(spark, sf):
+    # A1-A4 shape: the classic pricing-summary aggregation (partial+final agg)
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_top_duplicated(spark, sf):
+    # A7: top-5 duplicated keys (report main.tex:179 shape) over lineitem partkeys
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("l_partkey"))
+        .limit(5)
+    )
+
+
+def _q_tokens(spark, sf):
+    # X14 token counting over documents
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.size(F.array_distinct(tokens(F.col("text")))).alias("n_distinct_tokens"),
+    ).orderBy("doc_id")
+
+
+def _q_lang_quality(spark, sf):
+    # language-ID + quality scoring (training-pipeline text analysis)
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _q_fingerprint(spark, sf):
+    # document fingerprinting: portable 60-bit hash of collapsed text
+    from webcrawler_spark.functions.text import fingerprint64
+
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", fingerprint64(F.col("text")).alias("fingerprint")).orderBy("doc_id")
+
+
+def _q_postings(spark, sf):
+    # A4: inverted-index build (frequency + ordered positions)
+    d = load(spark, sf, "documents")
+    return build_postings(d).orderBy("doc", "word")
+
+
+def _q_vocabulary(spark, sf):
+    # A5: distinct vocabulary size
+    d = load(spark, sf, "documents")
+    p = build_postings(d)
+    return p.agg(F.count_distinct("word").cast("long").alias("n_words"))
+
+
+def _q_search(spark, sf):
+    # J7+A6+O3: scored search for a fixed query over the built index
+    d = load(spark, sf, "documents")
+    postings = build_postings(d)
+    return _search(spark, postings, "table value row").drop("all_positions")
+
+
+def _q_minhash_signatures(spark, sf):
+    # MinHash signatures (bit-for-bit portable arithmetic)
+    return _minhash.signatures(load(spark, sf, "documents")).orderBy("doc_id")
+
+
+def _q_simhash(spark, sf):
+    # SimHash fingerprints (bit-for-bit portable arithmetic)
+    return _simhash.simhash(load(spark, sf, "documents")).orderBy("doc_id")
+
+
+def _q_ngram_jaccard(spark, sf):
+    # exact n-gram Jaccard near-dup pairs
+    return _ngram.jaccard_pairs(load(spark, sf, "documents"), threshold=0.2)
+
+
+def _q_embedding_neardup(spark, sf):
+    # embedding-cosine near-duplicate pairs
+    return _emb.near_duplicate_pairs(load(spark, sf, "embeddings"), threshold=0.8)
+
+
+def _q_ann_topk(spark, sf):
+    # brute-force cosine top-k for a fixed query set
+    vecs = load(spark, sf, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 3)
+    return brute_force_topk(vecs, queries, k=5)
+
+
+def _q_tumbling(spark, sf):
+    # streaming-analog tumbling window aggregation
+    return tumbling_counts(load(spark, sf, "events"), minutes=60)
+
+
+def _q_sessionize(spark, sf):
+    # streaming-analog sessionization (lag + cumulative break count)
+    return sessionize(load(spark, sf, "events"), gap_minutes=30)
+
+
+def _q_url_canonicalize(spark, sf):
+    # F1/F2/F7/X2 over synthetic URLs derived deterministically from part:
+    # exercises scheme-reject, canonicalization, binary-extension typing
+    from webcrawler_spark.functions.urls import (
+        canonicalize_url,
+        is_binary_extension,
+        is_rejected_scheme,
+        url_host,
+    )
+
+    p = load(spark, sf, "part")
+    exts = F.array(*[F.lit(x) for x in ["", ".pdf", ".jpg", ".txt", ".html", ".zip"]])
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("p_partkey") % 50).cast("string"),
+        F.lit(".gov.si/p"),
+        F.col("p_partkey").cast("string"),
+        F.element_at(exts, (F.col("p_partkey") % 6 + 1).cast("int")),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit("?q=1#frag")).otherwise(F.lit("")),
+    )
+    d = p.select(F.col("p_partkey").alias("id"), url.alias("raw_url"))
+    return d.select(
+        "id",
+        canonicalize_url(F.col("raw_url")).alias("canon_url"),
+        url_host(F.col("raw_url")).alias("host"),
+        is_rejected_scheme(F.col("raw_url")).alias("rejected"),
+        is_binary_extension(canonicalize_url(F.col("raw_url"))).alias("is_binary"),
+    ).orderBy("id")
+
+
+def _q_crawl_pages(spark, sf):
+    # end-to-end BSP crawl on the synthetic webgraph — non-SQL (the oracle
+    # is the reference-semantics simulator, asserted in tests/test_crawl.py);
+    # here the driver records the final page-type census (sql_selects.sql:2-12)
+    import shutil
+    import tempfile
+
+    from webcrawler_spark.crawl.engine import CrawlEngine, CrawlConfig
+    from webcrawler_spark.sources.fixtures import SEED_URLS, make_webgraph
+
+    wg, robots = make_webgraph(n_hosts=5, pages_per_host_base=4)
+    root = tempfile.mkdtemp(prefix="crawl_q_")
+    # micro-scale crawl: whole-stage codegen recompiles every sub-step
+    # (literal clock changes) and dominates wall time — disable for the
+    # duration; production-scale runs keep it on (bench.py)
+    prev_cg = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        eng = CrawlEngine(
+            spark,
+            spark.createDataFrame(wg),
+            spark.createDataFrame(robots),
+            list(SEED_URLS),
+            CrawlConfig(store_root=root, max_rounds=40, checkpoint_every=10,
+                        collect_metrics=False),
+        )
+        eng.run()
+        out = (
+            eng.pages_df()
+            .groupBy("page_type_code")
+            .agg(F.count("*").cast("long").alias("n_pages"))
+            .orderBy("page_type_code")
+        )
+        return out.localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_image_invariants(spark, sf):
+    # X16 per-row invariant: decode/phash/PSNR over the graft images table
+    from webcrawler_spark.multimodal import verify_invariants
+    from webcrawler_spark.sources.fixtures import make_images
+
+    imgs = spark.createDataFrame(make_images(64))
+    out = verify_invariants(imgs)
+    return out.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("shape_ok").cast("int")).cast("long").alias("n_shape_ok"),
+        F.sum(F.col("phash_ok").cast("int")).cast("long").alias("n_phash_ok"),
+        F.sum(F.col("quality_ok").cast("int")).cast("long").alias("n_quality_ok"),
+    )
+
+
+def _q_image_features(spark, sf):
+    # multimodal feature extraction: grid color features → mean per format
+    from webcrawler_spark.multimodal import grid_features
+    from webcrawler_spark.sources.fixtures import make_images
+
+    pdf = make_images(64)
+    imgs = spark.createDataFrame(pdf)
+    feats = grid_features(imgs, grid=4)
+    joined = feats.join(imgs.select("image_id", "fmt"), "image_id")
+    return (
+        joined.select(
+            "fmt", F.aggregate("features", F.lit(0.0), lambda a, x: a + x).alias("s")
+        )
+        .groupBy("fmt")
+        .agg(F.count("*").cast("long").alias("n"), F.round(F.avg("s"), 4).alias("mean_feature_sum"))
+        .orderBy("fmt")
+    )
+
+
+def _q_doc_summary(spark, sf):
+    # the entry() flagship, parameterized by sf_dir (oracle-checked)
+    from webcrawler_spark.functions.text import fingerprint64
+
+    d = load(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        fingerprint64(F.col("text")).alias("fingerprint"),
+        token_count(F.col("text")).alias("n_tokens"),
+        lang_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        scored.withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("is_duplicate", F.col("dup_rank") > 1)
+        .drop("dup_rank")
+        .orderBy("doc_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "doc_summary": _q_doc_summary,
+        "counts_by_type": _q_counts_by_type,
+        "recent_events": _q_recent_events,
+        "link_join": _q_link_join,
+        "anti_join_unseen": _q_anti_join,
+        "semi_join_terms": _q_semi_join,
+        "frontier_pick": _q_frontier_pick,
+        "first_writer_dedup": _q_first_writer_dedup,
+        "pricing_summary": _q_tpch_q1,
+        "top_duplicated": _q_top_duplicated,
+        "token_counts": _q_tokens,
+        "lang_quality": _q_lang_quality,
+        "doc_fingerprint": _q_fingerprint,
+        "postings": _q_postings,
+        "vocabulary": _q_vocabulary,
+        "search_scores": _q_search,
+        "minhash_signatures": _q_minhash_signatures,
+        "simhash": _q_simhash,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "embedding_neardup_pairs": _q_embedding_neardup,
+        "ann_topk": _q_ann_topk,
+        "tumbling_counts": _q_tumbling,
+        "sessionize": _q_sessionize,
+        "url_canonicalize": _q_url_canonicalize,
+        "crawl_pages": _q_crawl_pages,
+        "image_invariants": _q_image_invariants,
+        "image_features": _q_image_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _DUCK_TOKS.format(col="text")
+    toks_nosw = (
+        "list_filter(" + toks + ", t -> NOT list_contains("
+        + "[" + ",".join(f"'{w}'" for w in STOPWORDS_EN) + "], t))"
+    )
+    sl = "[" + ",".join(f"'{w}'" for w in ("in","je","na","za","se","da","so","ki","pa","bi","po","ne","z","s","v","do","tudi","kot","od","le")) + "]"
+    en = "[" + ",".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+    de = "[" + ",".join(f"'{w}'" for w in ("der","die","und","das","von","zu","mit","den","im","ist","ein","eine","auf","für","des","sich","nicht","auch","es","dem")) + "]"
+
+    def hits(sw):
+        return f"(len(t) - len(list_filter(t, x -> NOT list_contains({sw}, x))))"
+
+    return {
+        "doc_summary": f"""
+            WITH t AS (SELECT doc_id, text, {toks} AS t FROM documents),
+            h AS (SELECT doc_id, text, t,
+                         {hits(en)} AS en_h, {hits(sl)} AS sl_h, {hits(de)} AS de_h
+                  FROM t),
+            s AS (
+                SELECT doc_id,
+                       {_DUCK_FP} AS fingerprint,
+                       len(t)::INT AS n_tokens,
+                       CASE WHEN en_h >= sl_h AND en_h >= de_h AND en_h > 0 THEN 'en'
+                            WHEN sl_h >= de_h AND sl_h > 0 THEN 'sl'
+                            WHEN de_h > 0 THEN 'de' ELSE 'und' END AS lang_guess,
+                       round((
+                           least(length(text) / 500.0, 1.0)
+                           + CASE WHEN length(text) > 0
+                                  THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) * 1.0 / length(text)
+                                  ELSE 0.0 END
+                           + CASE WHEN len(t) > 0
+                                       AND (list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)) BETWEEN 3 AND 12
+                                  THEN 1.0 ELSE 0.5 END
+                       ) / 3.0, 6) AS quality
+                FROM h)
+            SELECT doc_id, fingerprint, n_tokens, lang_guess, quality,
+                   row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) > 1 AS is_duplicate
+            FROM s ORDER BY doc_id
+        """,
+        "counts_by_type": """
+            SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "recent_events": """
+            SELECT event_id, ts, event_type FROM events
+            ORDER BY ts DESC, event_id ASC LIMIT 100
+        """,
+        "link_join": """
+            SELECT c_custkey, c_name, count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_spend
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY n_orders DESC, c_custkey ASC LIMIT 50
+        """,
+        "anti_join_unseen": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "semi_join_terms": """
+            SELECT p_partkey, p_name, p_size FROM part
+            WHERE p_size > 40 AND p_partkey IN (SELECT l_partkey FROM lineitem)
+            ORDER BY p_partkey
+        """,
+        "frontier_pick": """
+            SELECT o_custkey, min(o_orderkey) AS first_orderkey
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "first_writer_dedup": f"""
+            SELECT fingerprint, count(*)::BIGINT AS n_docs, min(doc_id) AS canonical_id
+            FROM (SELECT doc_id, {_DUCK_FP} AS fingerprint FROM documents)
+            GROUP BY fingerprint
+            HAVING count(*) >= 2
+            ORDER BY canonical_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_duplicated": """
+            SELECT l_partkey, count(*)::BIGINT AS n FROM lineitem
+            GROUP BY l_partkey ORDER BY n DESC, l_partkey ASC LIMIT 5
+        """,
+        "token_counts": f"""
+            SELECT doc_id, len({toks})::INT AS n_tokens,
+                   len(list_distinct({toks}))::INT AS n_distinct_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_quality": f"""
+            WITH t AS (SELECT doc_id, text, {toks} AS t FROM documents),
+            h AS (SELECT doc_id, text, t,
+                         {hits(en)} AS en_h, {hits(sl)} AS sl_h, {hits(de)} AS de_h
+                  FROM t)
+            SELECT doc_id,
+                   CASE WHEN en_h >= sl_h AND en_h >= de_h AND en_h > 0 THEN 'en'
+                        WHEN sl_h >= de_h AND sl_h > 0 THEN 'sl'
+                        WHEN de_h > 0 THEN 'de' ELSE 'und' END AS lang_guess,
+                   round((
+                       least(length(text) / 500.0, 1.0)
+                       + CASE WHEN length(text) > 0
+                              THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) * 1.0 / length(text)
+                              ELSE 0.0 END
+                       + CASE WHEN len(t) > 0
+                                   AND (list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)) BETWEEN 3 AND 12
+                              THEN 1.0 ELSE 0.5 END
+                   ) / 3.0, 6) AS quality
+            FROM h ORDER BY doc_id
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id, {_DUCK_FP} AS fingerprint FROM documents ORDER BY doc_id
+        """,
+        "postings": f"""
+            WITH tok AS (
+                SELECT doc_id AS doc, unnest({toks_nosw}) AS word,
+                       generate_subscripts({toks_nosw}, 1) - 1 AS pos
+                FROM documents
+            )
+            SELECT doc, word, count(*)::INT AS frequency,
+                   list_sort(list(pos)) AS positions
+            FROM tok GROUP BY doc, word ORDER BY doc, word
+        """,
+        "vocabulary": f"""
+            WITH tok AS (SELECT unnest({toks_nosw}) AS word FROM documents)
+            SELECT count(DISTINCT word)::BIGINT AS n_words FROM tok
+        """,
+        "search_scores": f"""
+            WITH tok AS (
+                SELECT doc_id AS doc, unnest({toks_nosw}) AS word FROM documents
+            ), postings AS (
+                SELECT doc, word, count(*)::INT AS frequency FROM tok GROUP BY doc, word
+            )
+            SELECT doc, sum(frequency)::BIGINT AS score
+            FROM postings WHERE word IN ('table', 'value', 'row')
+            GROUP BY doc ORDER BY score DESC, doc ASC
+        """,
+        "minhash_signatures": _minhash.minhash_signature_sql() + " ORDER BY doc_id",
+        "simhash": _simhash.simhash_oracle_sql() + " ORDER BY doc_id",
+        "ngram_jaccard_pairs": f"""
+            WITH sh AS (
+                SELECT doc_id, list_distinct(
+                    list_transform(
+                        range(1, greatest(len({toks}) - 2, 0) + 1),
+                        i -> array_to_string(({toks})[i:i+2], ' ')
+                    )
+                ) AS sh
+                FROM documents
+            ), s AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.2
+            ORDER BY a, b
+        """,
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(
+                       list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                   6) AS cos
+            FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings) a
+            JOIN (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings) b
+              ON a.vec_id < b.vec_id
+            WHERE round(
+                       list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                   6) >= 0.8
+            ORDER BY a, b
+        """,
+        "ann_topk": """
+            WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+            ), q AS (SELECT * FROM v WHERE vec_id < 3),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_dot_product(q.v, c.v) /
+                             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+                FROM q JOIN v c ON c.vec_id <> q.vec_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM ranked
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "tumbling_counts": """
+            SELECT time_bucket(INTERVAL '60 minutes', ts) AS window_start,
+                   event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS is_break
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts,
+                       (sum(is_break) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING))::BIGINT AS session_no
+                FROM g
+            )
+            SELECT user_id, session_no, count(*)::BIGINT AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
+        """,
+        "url_canonicalize": """
+            WITH d AS (
+                SELECT p_partkey AS id,
+                       'http://h' || (p_partkey % 50)::VARCHAR || '.gov.si/p'
+                       || p_partkey::VARCHAR
+                       || (['', '.pdf', '.jpg', '.txt', '.html', '.zip'])[(p_partkey % 6 + 1)::INT]
+                       || CASE WHEN p_partkey % 7 = 0 THEN '?q=1#frag' ELSE '' END AS raw_url
+                FROM part
+            ), c AS (
+                SELECT id, raw_url,
+                       split_part(replace(split_part(raw_url, '#', 1), '.html', ''), '?', 1) AS canon_url
+                FROM d
+            )
+            SELECT id, canon_url,
+                   'h' || (id % 50)::VARCHAR || '.gov.si' AS host,
+                   false AS rejected,
+                   CASE WHEN canon_url LIKE '%.pdf' OR canon_url LIKE '%.jpg'
+                             OR canon_url LIKE '%.zip' THEN true ELSE false END AS is_binary
+            FROM c ORDER BY id
+        """,
+        # crawl_pages / image_invariants / image_features: non-SQL-expressible
+        # (engine vs simulator oracle and pandas-UDF pipelines) — rows-only.
+    }

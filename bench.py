@@ -1,0 +1,166 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Two parts:
+
+1. **Operator suite** — the headline analytic queries from
+   ``__spark_entry__.queries()`` run at ``$SPARK_GRAFT_SF_DIR`` (default
+   /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``. Per-query wall
+   seconds go into ``queries``; their sum is the headline ``value``.
+
+2. **Crawl scaling** (BASELINE.json north_rule) — the metric is URLs
+   fetched+deduped/sec under the reference politeness budget. No real
+   cluster exists in this sandbox, so per the driver instruction the
+   two-cluster-size criterion is evidenced by running the *identical*
+   crawl job on the *identical* synthetic webgraph at two parallelism
+   levels (local[8] vs local[32], shuffle partitions 8 vs 32) and
+   reporting throughput at both plus
+   ``efficiency = (thr_32 / thr_8) / 4``.
+   Results land in the ``crawl_scaling`` key and in BENCH notes.
+
+Keep total wall under ~15 min: crawl rounds are capped, the webgraph is
+generated once and cached as parquet (generation is excluded from timing).
+
+Run: ``python bench.py`` (or ``SPARK_GRAFT_BENCH_CRAWL=0 python bench.py``
+to skip part 2 while iterating).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUN_CRAWL = os.environ.get("SPARK_GRAFT_BENCH_CRAWL", "1") == "1"
+
+# the headline operators benched at sf (heavier half of queries())
+BENCH_QUERIES = [
+    "pricing_summary",
+    "link_join",
+    "anti_join_unseen",
+    "first_writer_dedup",
+    "token_counts",
+    "lang_quality",
+    "postings",
+    "search_scores",
+    "minhash_signatures",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+    "ann_topk",
+    "tumbling_counts",
+    "sessionize",
+    "url_canonicalize",
+    "image_invariants",
+]
+
+CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "6000"))
+CRAWL_BASE = int(os.environ.get("SPARK_GRAFT_BENCH_BASE", "12"))
+CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "6"))
+
+
+def _operator_suite() -> tuple[dict[str, float], float]:
+    from __spark_entry__ import queries
+    from webcrawler_spark.session import get_spark
+
+    spark = get_spark(app_name="bench_ops", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    qs = queries()
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        dt = round(time.time() - t0, 3)
+        times[name] = dt
+        total += dt
+        print(f"  [bench] {name}: {dt:.2f}s ({n} rows)", file=sys.stderr, flush=True)
+    spark.stop()
+    return times, round(total, 3)
+
+
+def _crawl_webgraph_parquet() -> str:
+    """Generate (once) and cache the bench webgraph + robots as parquet."""
+    import pandas as pd
+
+    tag = f"h{CRAWL_HOSTS}_b{CRAWL_BASE}"
+    root = f"/tmp/bench_webgraph_{tag}"
+    if not os.path.exists(f"{root}/_OK"):
+        from webcrawler_spark.sources.fixtures import make_webgraph
+
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        wg, robots = make_webgraph(n_hosts=CRAWL_HOSTS, pages_per_host_base=CRAWL_BASE)
+        wg.to_parquet(f"{root}/webgraph.parquet")
+        robots.to_parquet(f"{root}/robots.parquet")
+        open(f"{root}/_OK", "w").write("ok")
+    return root
+
+
+def _crawl_run(cores: int, wg_root: str) -> dict:
+    from webcrawler_spark.crawl.engine import CrawlConfig, CrawlEngine
+    from webcrawler_spark.session import get_spark
+    from webcrawler_spark.sources.fixtures import SEED_URLS
+
+    spark = get_spark(app_name=f"bench_crawl_{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=cores)
+    wg = spark.read.parquet(f"{wg_root}/webgraph.parquet")
+    robots = spark.read.parquet(f"{wg_root}/robots.parquet")
+    store = f"/tmp/bench_crawl_store_{cores}"
+    shutil.rmtree(store, ignore_errors=True)
+    eng = CrawlEngine(
+        spark, wg, robots, list(SEED_URLS),
+        CrawlConfig(store_root=store, max_rounds=CRAWL_ROUNDS,
+                    checkpoint_every=2, collect_metrics=False),
+    )
+    t0 = time.time()
+    stats = eng.run()
+    wall = time.time() - t0
+    spark.stop()
+    shutil.rmtree(store, ignore_errors=True)
+    return {
+        "cores": cores,
+        "wall_s": round(wall, 2),
+        "urls_fetched": stats.visited,
+        "pages_stored": stats.stored,
+        "rounds": stats.rounds,
+        "substeps": stats.substeps,
+        "urls_per_sec": round(stats.visited / wall, 2),
+    }
+
+
+def main() -> None:
+    t_start = time.time()
+    times, total = _operator_suite()
+    out = {
+        "metric": "operator_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+    }
+    if RUN_CRAWL:
+        wg_root = _crawl_webgraph_parquet()
+        lo = _crawl_run(8, wg_root)
+        hi = _crawl_run(32, wg_root)
+        eff = round((hi["urls_per_sec"] / lo["urls_per_sec"]) / 4.0, 3)
+        out["crawl_scaling"] = {
+            "metric": "urls_fetched_deduped_per_sec",
+            "webgraph_hosts": CRAWL_HOSTS,
+            "low": lo,
+            "high": hi,
+            "speedup_8_to_32": round(hi["urls_per_sec"] / lo["urls_per_sec"], 3),
+            "scaling_efficiency": eff,
+        }
+    out["total_wall_s"] = round(time.time() - t_start, 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Similarity search (brute-force exact vs numpy; LSH precision) and
+inverted-index build/search (A4/A5/J7/A6/O3/W3 vs pure-Python oracle)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_spark.index.build import build_postings, vocabulary
+from webcrawler_spark.index.search import search, snippets
+from webcrawler_spark.similarity.ann import brute_force_topk, lsh_topk
+from webcrawler_spark.functions.text import STOPWORDS_EN
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_dir):
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100).cache()
+    v.count()
+    return v
+
+
+def _np_topk(pd, qids, k=5):
+    m = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in pd.itertuples()}
+    out = {}
+    for q in qids:
+        scores = []
+        for nid, v in m.items():
+            if nid == q:
+                continue
+            c = float(m[q] @ v / (np.linalg.norm(m[q]) * np.linalg.norm(v)))
+            scores.append((round(c, 6), nid))
+        scores.sort(key=lambda x: (-x[0], x[1]))
+        out[q] = scores[:k]
+    return out
+
+
+def test_brute_force_topk_exact(vecs):
+    qids = [0, 1, 2]
+    queries = vecs.filter(F.col("vec_id").isin(qids))
+    got = brute_force_topk(vecs, queries, k=5).collect()
+    want = _np_topk(vecs.toPandas(), qids, 5)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["cos"], r["neighbor_id"], r["rank"]))
+    for q in qids:
+        rows = sorted(by_q[q], key=lambda x: x[2])
+        for (cos, nid, rank), (wc, wn) in zip(rows, want[q]):
+            assert abs(cos - wc) < 1e-5
+            assert nid == wn, (q, rank)
+
+
+def test_lsh_topk_precision(vecs):
+    qids = [0, 1]
+    queries = vecs.filter(F.col("vec_id").isin(qids))
+    got = lsh_topk(vecs, queries, k=5, dim=64).collect()
+    pd = vecs.toPandas()
+    m = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in pd.itertuples()}
+    for r in got:
+        a, b = m[r["query_id"]], m[r["neighbor_id"]]
+        c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["cos"] - round(c, 6)) < 1e-5  # precision 1: exact cosines
+
+
+# --------------------------------------------------------------------------
+# inverted index
+# --------------------------------------------------------------------------
+
+def _py_postings(rows, stopwords=STOPWORDS_EN):
+    sw = set(stopwords)
+    out = {}
+    for doc_id, text in rows:
+        toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t and t not in sw]
+        for pos, w in enumerate(toks):
+            key = (doc_id, w)
+            e = out.setdefault(key, [0, []])
+            e[0] += 1
+            e[1].append(pos)
+    return out
+
+
+@pytest.fixture(scope="module")
+def doc_rows(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60).cache()
+    df.count()
+    return df
+
+
+def test_postings_vs_python(doc_rows):
+    got = {(r["doc"], r["word"]): (r["frequency"], r["positions"])
+           for r in build_postings(doc_rows).collect()}
+    rows = [(r.doc_id, r.text) for r in doc_rows.toPandas().itertuples()]
+    want = _py_postings(rows)
+    assert set(got) == set(want)
+    for k, (f_, p) in want.items():
+        assert got[k] == (f_, p), k
+
+
+def test_vocabulary(doc_rows):
+    postings = build_postings(doc_rows)
+    vocab = {r["word"] for r in vocabulary(postings).collect()}
+    rows = [(r.doc_id, r.text) for r in doc_rows.toPandas().itertuples()]
+    want = {w for (_, w) in _py_postings(rows)}
+    assert vocab == want
+
+
+def test_search_scoring(spark, doc_rows):
+    postings = build_postings(doc_rows).cache()
+    hits = search(spark, postings, "table value").collect()
+    rows = [(r.doc_id, r.text) for r in doc_rows.toPandas().itertuples()]
+    want_post = _py_postings(rows)
+    want_scores = {}
+    for (doc, w), (f_, _) in want_post.items():
+        if w in ("table", "value"):
+            want_scores[doc] = want_scores.get(doc, 0) + f_
+    got_scores = {r["doc"]: r["score"] for r in hits}
+    assert got_scores == want_scores
+    # ordering: score desc, doc asc (run-sqlite-search.py:55 + tiebreak)
+    ordered = [(r["score"], r["doc"]) for r in hits]
+    assert ordered == sorted(ordered, key=lambda x: (-x[0], x[1]))
+
+
+def test_snippets_window(spark):
+    # processing.py:123-134 — slice [index-3 : index+3] exclusive end:
+    # 3 before + self + 2 after
+    docs = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 target w5 w6 w7 w8")], "doc_id long, text string"
+    )
+    postings = build_postings(docs, stopwords=())
+    hits = search(spark, postings, "target")
+    out = snippets(docs, hits, stopwords=()).collect()
+    assert len(out) == 1
+    assert out[0]["snippet"] == "w1 w2 w3 target w5 w6"

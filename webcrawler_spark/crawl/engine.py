@@ -11,7 +11,9 @@ per logical tick ``t``:
                         — the FIFO-with-skip dequeue W1; one host maps to
                         one IP so this also enforces the per-host budget
       3. reservation  : next_allowed[host]=next_allowed[ip]=t+delay (J3)
-      4. fetch        : broadcast picks ⋈ webgraph (replaces live HTTP, S2)
+      4. fetch        : picks ⋈ webgraph (replaces live HTTP, S2) —
+                        broadcast while picks are broadcast-sized, shuffle
+                        hash join beyond that (AQE re-plans at runtime)
       5. redirect     : bounded iterative chase with cycle guard (J8)
       6. classify     : missing→404 / binary→BINARY (S3) / dup→DUPLICATE
                         via content_map join + first-writer window (J5/W2)
@@ -19,28 +21,42 @@ per logical tick ``t``:
                         admission filters F1-F7+F9 (cheap native filters
                         first) → batch dedup → anti-join seen (J2) →
                         dense seq assignment (distributed two-phase)
-      8. append       : trace/links/images/pages deltas, seen, frontier
+      8. buffer       : trace/links/images/pages deltas, seen, frontier
 
 State layout is append-only deltas (Iceberg-ready; parquet fallback per
 SURVEY §7 step 3): ``trace``, ``links``, ``images``, ``content_map``,
-``page_admissions``, ``page_visits``, ``seen`` are appended per round;
-``frontier`` is *derived* — admissions LEFT ANTI visited — so resume from
-any snapshot needs no mutable table. ``host_state`` (tiny) is rewritten.
+``page_admissions``, ``page_visits``, ``consumed``, ``seen`` are buffered
+per sub-step and committed once per round (``checkpoint_every`` rounds);
+``frontier`` is *derived* — admissions LEFT ANTI (visits ∪ consumed) — so
+resume from any committed round needs no mutable table. ``host_state``
+(tiny) is snapshotted whole at each commit; the manifest records the
+resume cursor (last round, next seq). ``CrawlEngine(..., resume=True)``
+rebuilds all state from the store and continues — the north_rule
+checkpoint/resume contract.
 
 Scale notes (the 1000-executor story):
 * frontier/seen joins hash-partition on url; the hot-host skew head never
   concentrates a join because eligibility+pick bound per-host work to one
   URL per round *by construction* (the politeness budget is the skew cap).
-* picks per sub-step ≤ #IPs → always the broadcast side of the fetch join.
+* picks per sub-step ≤ #IPs; broadcast into the webgraph fetch join only
+  under ``broadcast_pick_limit``, else a plain equi-join (AQE skew-safe).
 * sequence assignment avoids a single-partition window: range-partition by
   (parent_seq, pos), count per partition (JVM-only), prefix-sum offsets on
   the driver (#partitions values), then a per-partition window.
-* per-round metrics record per-partition row counts (lineage per
-  north_rule).
+* per-round metrics record per-partition row counts for every delta table
+  (lineage per north_rule) — computed at commit time in one job.
+* driver-side job count is the single-node bottleneck at fixture scale:
+  deltas are buffered (one write per table per round, not per sub-step)
+  and state checkpoints are lazy (merged into the next action) — at
+  cluster scale the same structure amortizes over millions of rows per
+  sub-step.
 """
 
 from __future__ import annotations
 
+import glob
+import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -59,6 +75,11 @@ from webcrawler_spark.storage.snapshots import SnapshotStore
 TICK_MS = 5000
 MAX_REDIRECT_DEPTH = 3
 
+DELTA_TABLES = (
+    "trace", "page_visits", "consumed", "links", "images",
+    "content_map", "page_admissions", "seen",
+)
+
 
 @dataclass
 class CrawlConfig:
@@ -67,7 +88,13 @@ class CrawlConfig:
     max_pages: int | None = None
     max_rounds: int = 10_000
     store_root: str = "/tmp/crawl_store"
-    checkpoint_every: int = 1  # rounds between snapshot commits
+    checkpoint_every: int = 1      # rounds between store commits
+    collect_metrics: bool = True   # per-partition lineage rows at commit
+    broadcast_pick_limit: int = 100_000  # picks under this → broadcast fetch join
+    state_partitions: int = 8      # partition cap for incrementally-unioned state
+                                   # (scale: ≈ cluster cores; prevents the
+                                   # union-per-substep partition blowup)
+    debug_timing: bool = False     # print per-action wall times
 
 
 @dataclass
@@ -93,20 +120,31 @@ class CrawlEngine:
         robots: DataFrame,
         seeds: list[str],
         config: CrawlConfig | None = None,
+        resume: bool = False,
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
         self.store = SnapshotStore(spark, self.cfg.store_root)
         self.stats = CrawlStats()
+        self._buf: dict[str, list[DataFrame]] = {t: [] for t in DELTA_TABLES}
+        self._live_caches: list[DataFrame] = []
+        self._round_visits: list[DataFrame] = []
 
         # webgraph: the synthetic web (REF-ONLY live HTTP replaced, S2).
-        # Cached once; every fetch is broadcast(picks) ⋈ webgraph.
+        # Cached once; every fetch joins picks against it.
         self.wg = webgraph.persist()
         self.wg_redirects = (
             self.wg.select("url", "redirect_to")
             .filter(F.col("redirect_to").isNotNull())
             .persist()
         )
+        # redirect *closure*, resolved once (static web): per redirect source,
+        # the final landing URL, the canonicalized hop chain, and the
+        # cycle/depth flag (J8). Per sub-step the chase is then a single
+        # broadcast join instead of MAX_REDIRECT_DEPTH unrolled self-joins —
+        # at 10^10 scale this is also the right plan: the closure is
+        # O(#redirect sources), computed one time per webgraph snapshot.
+        self.redirect_final = self._resolve_redirects().persist()
         # host dims, all broadcast-sized: host→ip, host→delay, host→disallow
         self.host_ip = self.wg.select("host", "ip").distinct().persist()
         live_robots = robots.filter(~F.col("is_html_page"))  # WebCrawler.java:108-112
@@ -124,7 +162,11 @@ class CrawlEngine:
             .persist()
         )
 
-        # --- mutable state (cached frames; deltas appended to the store) ---
+        if resume and self.store.get_meta("last_round") is not None:
+            self._load_state()
+            return
+
+        # --- fresh state ---
         seeds_df = spark.createDataFrame(
             [(i, s) for i, s in enumerate(seeds)], "seq long, url string"
         ).select("seq", canonicalize_url(F.col("url")).alias("url"))
@@ -146,44 +188,101 @@ class CrawlEngine:
             [], "url string, page_type_code string, status int, time_ms long, seq long"
         )
         self._seq_base = len(seeds)
-        self._append_admissions(self.frontier, round_=0, substep=999)  # seeds
+        self._start_round = 0
+        self._append("page_admissions", self.frontier.select("seq", "url", "host", "ip"))
 
     # ------------------------------------------------------------------
-    # delta appends
+    # delta buffering + per-round commit (+ resume)
     # ------------------------------------------------------------------
-    def _append(self, table: str, df: DataFrame, round_: int, substep: int = 0) -> None:
-        p = f"{self.store.root}/{table}/delta_r{round_:06d}_s{substep:03d}"
-        df.write.mode("overwrite").parquet(p)
+    def _append(self, table: str, df: DataFrame) -> None:
+        self._buf[table].append(df)
+
+    def _ckpt(self, df: DataFrame, label: str) -> DataFrame:
+        with self._t("ckpt:" + label):
+            return df.localCheckpoint(eager=True)
+
+    @contextmanager
+    def _t(self, label: str):
+        t0 = time.time()
+        yield
+        if self.cfg.debug_timing:
+            print(f"      [{label}] {time.time()-t0:.2f}s", flush=True)
+
+    def _commit(self, round_: int) -> None:
+        """Write buffered deltas (one job per table), snapshot host_state,
+        advance the manifest cursor. This IS the checkpoint."""
+        metric_parts = []
+        for table, frames in self._buf.items():
+            if not frames:
+                continue
+            df = frames[0]
+            for f_ in frames[1:]:
+                df = df.unionByName(f_)
+            path = f"{self.store.root}/{table}/delta_r{round_:06d}"
+            df.coalesce(self.cfg.state_partitions).write.mode("overwrite").parquet(path)
+            self._buf[table] = []
+            if self.cfg.collect_metrics:
+                metric_parts.append(
+                    self.spark.read.parquet(path)
+                    .groupBy(F.spark_partition_id().alias("partition_id"))
+                    .count()
+                    .select(
+                        F.lit(round_).alias("round"),
+                        F.lit(table).alias("table"),
+                        "partition_id",
+                        F.col("count").alias("rows"),
+                    )
+                )
+        if metric_parts:
+            m = metric_parts[0]
+            for p in metric_parts[1:]:
+                m = m.unionByName(p)
+            m.write.mode("overwrite").parquet(
+                f"{self.store.root}/metrics/delta_r{round_:06d}"
+            )
+        self.host_state.write.mode("overwrite").parquet(
+            f"{self.store.root}/host_state/r{round_:06d}"
+        )
+        self.store.mark_round(round_)
+        self.store.set_meta(last_round=round_, next_seq=self._seq_base)
 
     def _read_all(self, table: str) -> DataFrame | None:
-        import glob
         paths = sorted(glob.glob(f"{self.store.root}/{table}/delta_*"))
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
 
-    def _append_admissions(self, df: DataFrame, round_: int, substep: int = 0) -> None:
-        self._append("page_admissions", df.select("seq", "url", "host", "ip"), round_, substep)
-
-    def _metrics(self, round_: int, substep: int, table: str, df: DataFrame) -> None:
-        """Per-partition lineage metrics (north_rule)."""
-        m = (
-            df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .count()
-            .select(
-                F.lit(round_).alias("round"),
-                F.lit(substep).alias("substep"),
-                F.lit(table).alias("table"),
-                "partition_id",
-                F.col("count").alias("rows"),
-            )
-        )
-        self._append("metrics", m, round_, substep)
+    def _load_state(self) -> None:
+        """Rebuild all mutable state from the store (resume-from-checkpoint)."""
+        last = self.store.get_meta("last_round")
+        self._seq_base = self.store.get_meta("next_seq")
+        self._start_round = last + 1
+        adm = self._read_all("page_admissions")
+        visits = self._read_all("page_visits")
+        consumed = self._read_all("consumed")
+        self.visited_pages = (visits or self.spark.createDataFrame(
+            [], "url string, page_type_code string, status int, time_ms long, seq long"
+        )).localCheckpoint(eager=True)
+        gone = self.visited_pages.select("url")
+        if consumed is not None:
+            gone = gone.unionByName(consumed.select("url"))
+        self.frontier = adm.join(gone, "url", "left_anti").localCheckpoint(eager=True)
+        seen_extra = self._read_all("seen")
+        seen = adm.select("url")
+        if seen_extra is not None:
+            seen = seen.unionByName(seen_extra.select("url")).distinct()
+        self.seen = seen.localCheckpoint(eager=True)
+        cm = self._read_all("content_map")
+        self.content_map = (cm if cm is not None else self.spark.createDataFrame(
+            [], "text string, url string, vseq long"
+        )).localCheckpoint(eager=True)
+        hs = self.spark.read.parquet(f"{self.store.root}/host_state/r{last:06d}")
+        self.host_state = hs.localCheckpoint(eager=True)
 
     # ------------------------------------------------------------------
     # one sub-step at logical time t; returns number of URLs fetched
     # ------------------------------------------------------------------
-    def _substep(self, t: int, round_: int, substep: int) -> int:
+    def _substep(self, t: int) -> int:
         cfg = self.cfg
 
         # 1-2. eligibility + per-IP FIFO pick (F8 + W1)
@@ -207,7 +306,8 @@ class CrawlEngine:
             .select("seq", "url", "host", "ip")
             .persist()
         )
-        n_picked = picks.count()
+        with self._t('picks.count'):
+            n_picked = picks.count()
         if n_picked == 0:
             picks.unpersist()
             return 0
@@ -227,76 +327,40 @@ class CrawlEngine:
         self.host_state = (
             self.host_state.join(F.broadcast(keys), ["kind", "key"], "left_anti")
             .unionByName(new_state)
-            .localCheckpoint(eager=True)
         )
 
         # trace records the *picked* URL, pre-redirect (logs1 format, S11)
-        trace = picks.select(
-            F.lit(t).alias("time_ms"), "seq", "url", "host"
-        )
-        self._append("trace", trace, round_, substep)
-        self._metrics(round_, substep, "trace", trace)
+        self._append("trace", picks.select(F.lit(t).alias("time_ms"), "seq", "url", "host"))
 
-        # 4. fetch: broadcast the small side into the webgraph (S2)
-        hits = self.wg.join(F.broadcast(picks.select("seq", "url")), "url", "inner")
-
-        # 5. redirect chase (J8) — bounded iterations, cycle guard
-        chase = hits.filter(F.col("redirect_to").isNotNull()).select(
-            F.col("url").alias("orig"),
-            F.col("seq"),
-            F.col("url").alias("landed"),
-            F.array(F.col("url")).alias("chain"),
-            F.lit(0).alias("depth"),
-            F.lit(False).alias("loop_hit"),
-            F.lit(False).alias("done"),
+        # 4+5. fetch + redirect chase (S2/J8): one broadcast join against the
+        # precomputed redirect closure; picks that are not redirect sources
+        # pass through with landed = url
+        rf = self.redirect_final.withColumnRenamed("url", "_rf_url")
+        pf = (
+            picks.join(F.broadcast(rf), picks.url == rf._rf_url, "left")
+            .select(
+                "seq",
+                "url",
+                F.coalesce("landed", "url").alias("landed"),
+                F.coalesce("loop_hit", F.lit(False)).alias("loop_hit"),
+                "chain",
+            )
+            .persist()
         )
-        for _ in range(MAX_REDIRECT_DEPTH + 1):
-            nxt = F.when(
-                F.col("redirect_to").isNotNull() & ~F.col("done"),
-                canonicalize_url(F.col("redirect_to")),
-            )
-            chase = (
-                chase.join(
-                    F.broadcast(self.wg_redirects.withColumnRenamed("url", "landed")),
-                    "landed",
-                    "left",
-                )
-                .withColumn("nxt", nxt)
-                .withColumn(
-                    "hit_loop",
-                    F.col("nxt").isNotNull()
-                    & (F.array_contains("chain", F.col("nxt")) | (F.col("depth") + 1 > MAX_REDIRECT_DEPTH)),
-                )
-                .select(
-                    "orig",
-                    "seq",
-                    F.when(F.col("nxt").isNotNull() & ~F.col("hit_loop"), F.col("nxt"))
-                    .otherwise(F.col("landed"))
-                    .alias("landed"),
-                    F.when(F.col("nxt").isNotNull() & ~F.col("hit_loop"),
-                           F.array_union("chain", F.array(F.col("nxt"))))
-                    .otherwise(F.col("chain"))
-                    .alias("chain"),
-                    (F.col("depth") + F.when(F.col("nxt").isNotNull(), 1).otherwise(0)).alias("depth"),
-                    (F.col("loop_hit") | F.col("hit_loop")).alias("loop_hit"),
-                    (F.col("done") | F.col("nxt").isNull() | F.col("hit_loop")).alias("done"),
-                )
-            )
-        chase = chase.persist()
 
         # redirect intermediates → seen (WebCrawler.java:348,353); orig is
         # already seen — the seen-delta anti-join below dedups it away
-        intermediates = chase.select(F.explode(F.col("chain")).alias("url"))
+        intermediates = pf.select(F.explode(F.col("chain")).alias("url"))
 
-        loop_pages = chase.filter("loop_hit").select(
-            F.col("orig").alias("url"),
+        loop_pages = pf.filter("loop_hit").select(
+            "url",
             F.lit("HTML").alias("page_type_code"),
             F.lit(301).alias("status"),
             F.lit(t).alias("time_ms"),
             "seq",
         )
 
-        moved = chase.filter(~F.col("loop_hit") & (F.col("landed") != F.col("orig")))
+        moved = pf.filter(~F.col("loop_hit") & (F.col("landed") != F.col("url")))
         moved = moved.withColumn("lhost", url_host(F.col("landed")))
         # containment re-check on the landed URL (:218-221)
         moved_in = moved.filter(in_containment(F.col("lhost"), cfg.seed_domains))
@@ -308,23 +372,25 @@ class CrawlEngine:
             .select(F.col("landed").alias("url"), "seq")
         )
 
-        direct = hits.filter(F.col("redirect_to").isNull()).select("url", "seq")
+        direct = pf.filter(~F.col("loop_hit") & (F.col("landed") == F.col("url"))).select("url", "seq")
         # a URL can already be visited via an earlier redirect landing —
         # such picks are consumed without storing (simulator parity)
         to_process = direct.unionByName(moved_ok).join(
             self.visited_pages.select("url"), "url", "left_anti"
+        )
+
+        # fetch join: broadcast the pick side while small (AQE re-plans the
+        # strategy at scale), persist — every classify branch filters this
+        tp = to_process
+        if n_picked <= cfg.broadcast_pick_limit:
+            tp = F.broadcast(tp)
+        fetched = self.wg.join(tp, "url", "inner").select(
+            "url", "seq", "content_type", "text_norm", "html", "img_srcs"
         ).persist()
 
         # picked-or-landed URLs absent from the webgraph → 404
-        known = self.wg.join(
-            F.broadcast(to_process.select("url")), "url", "left_semi"
-        ).select("url")
         missing = (
-            picks.select("url", "seq")
-            .join(F.broadcast(hits.select("url")), "url", "left_anti")
-            .unionByName(
-                to_process.join(F.broadcast(known), "url", "left_anti")
-            )
+            to_process.join(fetched.select("url"), "url", "left_anti")
             .select(
                 "url",
                 F.lit("HTML").alias("page_type_code"),
@@ -334,11 +400,7 @@ class CrawlEngine:
             )
         )
 
-        body = self.wg.join(
-            F.broadcast(to_process), "url", "inner"
-        ).select("url", "seq", "content_type", "text_norm", "html", "img_srcs")
-
-        binaries = body.filter(F.col("content_type") != "text/html").select(
+        binaries = fetched.filter(F.col("content_type") != "text/html").select(
             "url",
             F.lit("BINARY").alias("page_type_code"),
             F.lit(200).alias("status"),
@@ -346,7 +408,7 @@ class CrawlEngine:
             "seq",
         )
 
-        htmls = body.filter(F.col("content_type") == "text/html").persist()
+        htmls = fetched.filter(F.col("content_type") == "text/html")
 
         # 6. content dedup — stored originals (J5) + first-writer window (W2)
         cm = self.content_map.select(
@@ -430,20 +492,20 @@ class CrawlEngine:
         admitted = cand.join(
             self.seen.withColumnRenamed("url", "curl"), "curl", "left_anti"
         ).select("parent_url", "parent_seq", "pos", F.col("curl").alias("url"),
-                 F.col("chost").alias("host")).persist()
+                 F.col("chost").alias("host"))
 
         # dense, order-preserving sequence assignment (distributed two-phase)
-        admitted_seq = self._assign_seq(admitted, self._seq_base)
-        n_admitted = admitted_seq.count()
+        with self._t('assign_seq'):
+            admitted_seq, n_admitted = self._assign_seq(admitted, self._seq_base)
         self._seq_base += n_admitted
 
         new_frontier = (
             admitted_seq.join(F.broadcast(self.host_ip), "host", "left")
             .withColumn("ip", F.coalesce("ip", F.lit("0.0.0.0")))
-            .select("seq", "url", "host", "ip")
+            .select("seq", "url", "host", "ip", "parent_url")
             .persist()
         )
-        adm_links = admitted_seq.select(
+        adm_links = new_frontier.select(
             F.col("parent_url").alias("from_url"), F.col("url").alias("to_url")
         )
 
@@ -466,30 +528,28 @@ class CrawlEngine:
             )
         )
 
-        # 8. append deltas + refresh cached state
+        # 8. buffer deltas + refresh cached state
         visits = missing.unionByName(loop_pages).unionByName(binaries) \
             .unionByName(dup_pages).unionByName(html_pages)
         visits = visits.persist()
-        n_visits = visits.count()
+        self._round_visits.append(visits)
 
-        self._append("page_visits", visits, round_, substep)
+        self._append("page_visits", visits)
         # picks that produced no page row (redirect moved away / landed on
         # an already-visited or out-of-scope URL) — consumed, page dropped
         consumed = picks.select("url").join(visits.select("url"), "url", "left_anti")
-        self._append("consumed", consumed, round_, substep)
-        self._append("links", dup_links.unionByName(adm_links), round_, substep)
-        self._append("images", imgs, round_, substep)
-        self._metrics(round_, substep, "page_visits", visits)
-        self._metrics(round_, substep, "admissions", new_frontier)
-        self._append_admissions(new_frontier, round_, substep)
+        self._append("consumed", consumed)
+        self._append("links", dup_links.unionByName(adm_links))
+        self._append("images", imgs)
+        self._append("page_admissions", new_frontier.select("seq", "url", "host", "ip"))
 
         new_cm = originals.select(
             F.col("text_norm").alias("text"), "url", F.col("seq").alias("vseq")
         )
-        self._append("content_map", new_cm, round_, substep)
-        self.content_map = self.content_map.unionByName(new_cm).localCheckpoint(eager=True)
+        self._append("content_map", new_cm)
+        self.content_map = self.content_map.unionByName(new_cm)
 
-        self.visited_pages = self.visited_pages.unionByName(visits).localCheckpoint(eager=True)
+        self.visited_pages = self.visited_pages.unionByName(visits)
 
         new_seen = (
             intermediates.select("url")
@@ -497,36 +557,86 @@ class CrawlEngine:
             .distinct()
         )
         seen_delta = new_seen.join(self.seen, "url", "left_anti").persist()
-        self._append("seen", seen_delta, round_, substep)
-        self.seen = self.seen.unionByName(seen_delta.select("url")).localCheckpoint(eager=True)
+        self._append("seen", seen_delta)
+        self.seen = self.seen.unionByName(seen_delta.select("url"))
 
         picked_urls = picks.select("url")
         self.frontier = (
             self.frontier.join(F.broadcast(picked_urls), "url", "left_anti")
             .unionByName(new_frontier.select("seq", "url", "host", "ip"))
-            .localCheckpoint(eager=True)
         )
 
         self.stats.visited += n_picked
-        self.stats.stored += n_visits
-        for x in (picks, chase, htmls, dups, originals, admitted,
-                  to_process, visits, seen_delta, new_frontier):
-            x.unpersist()
+        # NOTE: picks/chase/htmls/dups/originals/visits/seen_delta/
+        # new_frontier stay persisted until the round commit — buffered
+        # delta frames reference them.
+        self._live_caches.extend(
+            (picks, pf, fetched, dups, originals, visits, seen_delta, new_frontier)
+        )
         return n_picked
 
     # ------------------------------------------------------------------
-    def _assign_seq(self, df: DataFrame, start: int) -> DataFrame:
+    def _resolve_redirects(self) -> DataFrame:
+        """Closure of the redirect graph (J8), computed once per webgraph:
+        (url, landed, chain, loop_hit) for every redirect source. Bounded
+        depth + cycle guard exactly as WebCrawler.java:346-358: the chain
+        holds the canonicalized hops marked seen (:348,353); a repeated hop
+        or depth > MAX_REDIRECT_DEPTH sets loop_hit."""
+        chase = self.wg_redirects.select(
+            F.col("url").alias("orig"),
+            F.col("url").alias("landed"),
+            F.array(F.col("url")).alias("chain"),
+            F.lit(0).alias("depth"),
+            F.lit(False).alias("loop_hit"),
+            F.lit(False).alias("done"),
+        )
+        for _ in range(MAX_REDIRECT_DEPTH + 1):
+            nxt = F.when(
+                F.col("redirect_to").isNotNull() & ~F.col("done"),
+                canonicalize_url(F.col("redirect_to")),
+            )
+            chase = (
+                chase.join(
+                    F.broadcast(self.wg_redirects.withColumnRenamed("url", "landed")),
+                    "landed",
+                    "left",
+                )
+                .withColumn("nxt", nxt)
+                .withColumn(
+                    "hit_loop",
+                    F.col("nxt").isNotNull()
+                    & (F.array_contains("chain", F.col("nxt"))
+                       | (F.col("depth") + 1 > MAX_REDIRECT_DEPTH)),
+                )
+                .select(
+                    "orig",
+                    F.when(F.col("nxt").isNotNull() & ~F.col("hit_loop"), F.col("nxt"))
+                    .otherwise(F.col("landed"))
+                    .alias("landed"),
+                    F.when(F.col("nxt").isNotNull() & ~F.col("hit_loop"),
+                           F.array_union("chain", F.array(F.col("nxt"))))
+                    .otherwise(F.col("chain"))
+                    .alias("chain"),
+                    (F.col("depth") + F.when(F.col("nxt").isNotNull(), 1).otherwise(0)).alias("depth"),
+                    (F.col("loop_hit") | F.col("hit_loop")).alias("loop_hit"),
+                    (F.col("done") | F.col("nxt").isNull() | F.col("hit_loop")).alias("done"),
+                )
+            )
+        return chase.select(F.col("orig").alias("url"), "landed", "chain", "loop_hit")
+
+    # ------------------------------------------------------------------
+    def _assign_seq(self, df: DataFrame, start: int) -> tuple[DataFrame, int]:
         """Dense order-preserving sequence over (parent_seq, pos) without a
         single-partition window: range-partition → per-partition counts
         (JVM aggregation, #partitions rows to the driver) → prefix-sum
-        offsets → per-partition row_number."""
+        offsets → per-partition row_number. Returns (frame, total)."""
         n = max(1, min(self.spark.sparkContext.defaultParallelism, 32))
         d = df.repartitionByRange(n, "parent_seq", "pos").withColumn(
             "_pid", F.spark_partition_id()
         ).localCheckpoint(eager=True)  # pin partition ids before two uses
         counts = {r["_pid"]: r["cnt"] for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
         if not counts:
-            return d.withColumn("seq", F.lit(None).cast("long")).drop("_pid")
+            return d.withColumn("seq", F.lit(None).cast("long")).drop("_pid"), 0
         offsets, acc = {}, start
         for pid in sorted(counts):
             offsets[pid] = acc
@@ -538,29 +648,60 @@ class CrawlEngine:
             .withColumn("seq", omap[F.col("_pid")] + F.col("_rn") - 1)
             .drop("_pid", "_rn")
         )
-        return out
+        return out, acc - start
 
     # ------------------------------------------------------------------
     def run(self) -> CrawlStats:
         cfg = self.cfg
-        round_ = 0
+        round_ = self._start_round
+        pending = False
         while round_ < cfg.max_rounds:
             if cfg.max_pages is not None and self.stats.stored >= cfg.max_pages:
                 break
-            if self.frontier.limit(1).count() == 0:
+            with self._t('frontier.empty?'):
+                frontier_empty = self.frontier.limit(1).count() == 0
+            if frontier_empty:
                 break
             t = round_ * cfg.tick_ms
             substep, fetched = 0, 0
+            self._round_visits = []
             while True:
-                n = self._substep(t, round_, substep)
+                n = self._substep(t)
                 if n == 0:
                     break
                 fetched += n
                 substep += 1
+            if fetched > 0:
+                # states stayed lazy across this round's sub-steps (plans
+                # bounded by substeps/round); truncate once per round
+                sp = cfg.state_partitions
+                self.frontier = self._ckpt(self.frontier.coalesce(sp), "frontier")
+                self.seen = self._ckpt(self.seen.coalesce(sp), "seen")
+                self.visited_pages = self._ckpt(self.visited_pages.coalesce(sp), "visited_pages")
+                self.content_map = self._ckpt(self.content_map.coalesce(sp), "content_map")
+                self.host_state = self._ckpt(self.host_state.coalesce(sp), "host_state")
+                with self._t('stored.count'):
+                    rv = self._round_visits[0]
+                    for v in self._round_visits[1:]:
+                        rv = rv.unionByName(v)
+                    self.stats.stored += rv.count()
             self.stats.rounds += 1
             self.stats.substeps += substep
             self.stats.per_round.append({"round": round_, "fetched": fetched})
+            pending = True
+            if (round_ + 1) % cfg.checkpoint_every == 0:
+                with self._t('commit'):
+                    self._commit(round_)
+                pending = False
+                for c in self._live_caches:
+                    c.unpersist()
+                self._live_caches = []
             round_ += 1
+        if pending:
+            self._commit(round_ - 1)
+            for c in self._live_caches:
+                c.unpersist()
+            self._live_caches = []
         return self.stats
 
     # ------------------------------------------------------------------
@@ -591,6 +732,9 @@ class CrawlEngine:
 
     def images_df(self) -> DataFrame:
         return self._read_all("images")
+
+    def metrics_df(self) -> DataFrame:
+        return self._read_all("metrics")
 
     def seen_df(self) -> DataFrame:
         adm = self._read_all("page_admissions").select("url")

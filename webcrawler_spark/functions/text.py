@@ -60,19 +60,23 @@ def token_count(col: Column) -> Column:
 
 
 def remove_stopwords(tok: Column, stopwords: tuple[str, ...]) -> Column:
-    """F12: drop stopwords from a token array (processing.py:20)."""
+    """F12: drop stopwords from a token array (processing.py:20).
+
+    NOTE: ``filter``, not ``array_except`` — array_except has SET semantics
+    and silently deduplicates the kept tokens, which would corrupt
+    frequencies and positions downstream (A4).
+    DuckDB: ``list_filter(t, x -> not list_contains(sw, x))``.
+    """
     sw = F.array(*[F.lit(s) for s in stopwords])
-    return F.array_except(tok, sw)
+    return F.filter(tok, lambda t: ~F.array_contains(sw, t))
 
 
 def stopword_hits(tok: Column, stopwords: tuple[str, ...]) -> Column:
-    """Count of tokens that are stopwords of the given language.
+    """Count of stopword *occurrences* (not distinct stopwords).
 
-    Counts *occurrences* (not distinct): size(t) - size(array_except(t, sw)).
     DuckDB: ``len(t) - len(list_filter(t, x -> not list_contains(sw, x)))``.
     """
-    sw = F.array(*[F.lit(s) for s in stopwords])
-    return F.size(tok) - F.size(F.array_except(tok, sw))
+    return F.size(tok) - F.size(remove_stopwords(tok, stopwords))
 
 
 def lang_id(col: Column) -> Column:

@@ -49,17 +49,27 @@ def is_rejected_scheme(url: Column) -> Column:
 
 
 def canonicalize_url(url: Column) -> Column:
-    """F2: fragment-split → '.html'-delete → query-strip (CrawlerUrl.java:27-51)."""
+    """F2: fragment-split → '.html'-delete → query-strip (CrawlerUrl.java:27-51).
+
+    The final trim is a no-op for well-formed URLs (the reference rejects
+    whitespace-bearing URLs at URI construction, CrawlerUrl.java:44-51);
+    it keeps the function idempotent on degenerate inputs.
+    """
     c = F.trim(url)
     c = F.substring_index(c, "#", 1)           # keep before fragment
     c = F.regexp_replace(c, r"\.html", "")     # delete every literal .html
     c = F.substring_index(c, "?", 1)           # strip query
-    return c
+    return F.trim(c)
 
 
 def url_host(url: Column) -> Column:
-    """Host of a URL, lowercased, leading 'www.' stripped (Utils.java:8-19)."""
-    h = F.lower(F.parse_url(url, F.lit("HOST")))
+    """Host of a URL, lowercased, leading 'www.' stripped (Utils.java:8-19).
+
+    ``try_parse_url`` (not ``parse_url``): invalid URLs → NULL host →
+    dropped by the validity filter F3, matching the reference's catch of
+    URISyntaxException (CrawlerUrl.java:33-38) rather than erroring.
+    """
+    h = F.lower(F.try_parse_url(url, F.lit("HOST")))
     return F.regexp_replace(h, r"^www\.", "")
 
 
@@ -73,7 +83,7 @@ def in_containment(host: Column, seed_domains: tuple[str, ...] = DEFAULT_SEED_DO
 
 def url_extension(url: Column) -> Column:
     """Last '.'-separated component of the path, lowercased; empty if no dot."""
-    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
     last_seg = F.element_at(F.split(path, "/"), -1)
     return F.when(
         last_seg.contains("."), F.lower(F.element_at(F.split(last_seg, r"\."), -1))
@@ -110,10 +120,10 @@ def canonicalize_url_py(url: str) -> str:
     c = c.split("#", 1)[0]
     c = c.replace(".html", "")
     c = c.split("?", 1)[0]
-    return c
+    return c.strip()
 
 
-_HOST_RE = re.compile(r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", re.IGNORECASE)
+_HOST_RE = re.compile(r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([a-z0-9.-]+)", re.IGNORECASE)
 
 
 def url_host_py(url: str) -> str | None:

@@ -67,3 +67,17 @@ class SnapshotStore:
 
     def latest_round(self) -> int | None:
         return max(self._manifest["rounds"]) if self._manifest["rounds"] else None
+
+    # -- small scalar metadata (resume cursor: last round, next seq, clock) --
+
+    def set_meta(self, **kv) -> None:
+        self._manifest.setdefault("meta", {}).update(kv)
+        self._save_manifest()
+
+    def get_meta(self, key: str, default=None):
+        return self._manifest.get("meta", {}).get(key, default)
+
+    def mark_round(self, round_: int) -> None:
+        if round_ not in self._manifest["rounds"]:
+            self._manifest["rounds"].append(round_)
+        self._save_manifest()

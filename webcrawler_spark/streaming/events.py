@@ -40,7 +40,10 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization via lag + cumulative gap count (guide pattern):
     session breaks when the per-user gap exceeds `gap_minutes`."""
     wu = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wu)
+    # cast via TIMESTAMP (session tz = UTC): TIMESTAMP_NTZ → BIGINT directly
+    # is disallowed in Spark 4
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(wu)
     with_break = events.withColumn(
         "is_break", F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     )
