@@ -263,7 +263,7 @@ def _q_ngram_jaccard(spark, sf):
 
 def _q_embedding_neardup(spark, sf):
     # embedding-cosine near-duplicate pairs
-    return _emb.near_duplicate_pairs(load(spark, sf, "embeddings"), threshold=0.8)
+    return _emb.near_duplicate_pairs(load(spark, sf, "embeddings"), threshold=0.3)
 
 
 def _q_ann_topk(spark, sf):
@@ -619,7 +619,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(
                        list_dot_product(a.v, b.v) /
                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-                   6) >= 0.8
+                   6) >= 0.3
             ORDER BY a, b
         """,
         "ann_topk": """

@@ -117,7 +117,7 @@ def test_simhash_near_duplicates_complete(spark):
 
 def test_embedding_cosine_pairs(spark, sf_dir):
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(80)
-    got = {(r["a"], r["b"]): r["cos"] for r in emb.near_duplicate_pairs(vecs, threshold=0.9).collect()}
+    got = {(r["a"], r["b"]): r["cos"] for r in emb.near_duplicate_pairs(vecs, threshold=0.3).collect()}
     pd = vecs.toPandas()
     m = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in pd.itertuples()}
     ids = sorted(m)
@@ -125,7 +125,7 @@ def test_embedding_cosine_pairs(spark, sf_dir):
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
             c = float(m[a] @ m[b] / (np.linalg.norm(m[a]) * np.linalg.norm(m[b])))
-            if round(c, 6) >= 0.9:
+            if round(c, 6) >= 0.3:
                 want[(a, b)] = round(c, 6)
     assert set(got) == set(want)
     for k in want:

@@ -94,6 +94,13 @@ class CrawlConfig:
     state_partitions: int = 8      # partition cap for incrementally-unioned state
                                    # (scale: ≈ cluster cores; prevents the
                                    # union-per-substep partition blowup)
+    eager_state_threshold: int = 0  # sub-steps picking >= this many URLs
+                                   # truncate state immediately. seen/
+                                   # visited/content_map are SELF-REFERENTIAL
+                                   # (delta k derives from state k-1), so lazy
+                                   # chaining doubles the plan per sub-step —
+                                   # 0 (always truncate) is the only safe
+                                   # default; raising it is an experiment knob
     debug_timing: bool = False     # print per-action wall times
 
 
@@ -129,6 +136,7 @@ class CrawlEngine:
         self._buf: dict[str, list[DataFrame]] = {t: [] for t in DELTA_TABLES}
         self._live_caches: list[DataFrame] = []
         self._round_visits: list[DataFrame] = []
+        self._state_dirty = False
 
         # webgraph: the synthetic web (REF-ONLY live HTTP replaced, S2).
         # Cached once; every fetch joins picks against it.
@@ -147,6 +155,19 @@ class CrawlEngine:
         self.redirect_final = self._resolve_redirects().persist()
         # host dims, all broadcast-sized: host→ip, host→delay, host→disallow
         self.host_ip = self.wg.select("host", "ip").distinct().persist()
+        if "body" in robots.columns:
+            # S4: parse raw robots.txt bodies with the vectorized parser
+            # (one pass over the tiny host dimension, then broadcast)
+            from webcrawler_spark.functions.robots import make_parse_robots_udf
+
+            robots = robots.select(
+                "host", make_parse_robots_udf()(F.col("body")).alias("r")
+            ).select(
+                "host",
+                F.col("r.disallow_prefixes").alias("disallow_prefixes"),
+                F.col("r.crawl_delay_s").alias("crawl_delay_s"),
+                F.col("r.is_html_page").alias("is_html_page"),
+            )
         live_robots = robots.filter(~F.col("is_html_page"))  # WebCrawler.java:108-112
         self.host_delay = (
             live_robots.select(
@@ -567,6 +588,9 @@ class CrawlEngine:
         )
 
         self.stats.visited += n_picked
+        self._state_dirty = True
+        if n_picked >= cfg.eager_state_threshold:
+            self._truncate_state()
         # NOTE: picks/chase/htmls/dups/originals/visits/seen_delta/
         # new_frontier stay persisted until the round commit — buffered
         # delta frames reference them.
@@ -574,6 +598,16 @@ class CrawlEngine:
             (picks, pf, fetched, dups, originals, visits, seen_delta, new_frontier)
         )
         return n_picked
+
+    def _truncate_state(self) -> None:
+        """Materialize + lineage-truncate the five mutable state frames."""
+        sp = self.cfg.state_partitions
+        self.frontier = self._ckpt(self.frontier.coalesce(sp), "frontier")
+        self.seen = self._ckpt(self.seen.coalesce(sp), "seen")
+        self.visited_pages = self._ckpt(self.visited_pages.coalesce(sp), "visited_pages")
+        self.content_map = self._ckpt(self.content_map.coalesce(sp), "content_map")
+        self.host_state = self._ckpt(self.host_state.coalesce(sp), "host_state")
+        self._state_dirty = False
 
     # ------------------------------------------------------------------
     def _resolve_redirects(self) -> DataFrame:
@@ -672,14 +706,11 @@ class CrawlEngine:
                 fetched += n
                 substep += 1
             if fetched > 0:
-                # states stayed lazy across this round's sub-steps (plans
-                # bounded by substeps/round); truncate once per round
-                sp = cfg.state_partitions
-                self.frontier = self._ckpt(self.frontier.coalesce(sp), "frontier")
-                self.seen = self._ckpt(self.seen.coalesce(sp), "seen")
-                self.visited_pages = self._ckpt(self.visited_pages.coalesce(sp), "visited_pages")
-                self.content_map = self._ckpt(self.content_map.coalesce(sp), "content_map")
-                self.host_state = self._ckpt(self.host_state.coalesce(sp), "host_state")
+                # small sub-steps stayed lazy (plans bounded by
+                # substeps/round); truncate once per round. Large sub-steps
+                # already truncated inline (eager_state_threshold).
+                if self._state_dirty:
+                    self._truncate_state()
                 with self._t('stored.count'):
                     rv = self._round_visits[0]
                     for v in self._round_visits[1:]:

@@ -62,15 +62,28 @@ def canonicalize_url(url: Column) -> Column:
     return F.trim(c)
 
 
-def url_host(url: Column) -> Column:
-    """Host of a URL, lowercased, leading 'www.' stripped (Utils.java:8-19).
+# One regex, shared verbatim (via the (?i) flag) with the Python twin
+# below. NOT java.net.URI / parse_url: URI construction allocates heavily
+# per row (it was the dominant cost AND the scaling ceiling of the
+# admission kernel — GC-bound), and a regex keeps the Spark side and the
+# simulator twin bit-identical. Invalid URLs → NULL host → dropped by F3,
+# matching the reference's URISyntaxException catch (CrawlerUrl.java:33-38).
+_HOST_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([A-Za-z0-9.-]+)"
 
-    ``try_parse_url`` (not ``parse_url``): invalid URLs → NULL host →
-    dropped by the validity filter F3, matching the reference's catch of
-    URISyntaxException (CrawlerUrl.java:33-38) rather than erroring.
-    """
-    h = F.lower(F.try_parse_url(url, F.lit("HOST")))
+
+def url_host(url: Column) -> Column:
+    """Host of a URL, lowercased, leading 'www.' stripped (Utils.java:8-19)."""
+    h = F.lower(F.regexp_extract(F.trim(url), _HOST_PATTERN, 1))
+    h = F.when(h == "", F.lit(None).cast("string")).otherwise(h)
     return F.regexp_replace(h, r"^www\.", "")
+
+
+def _url_rest(url: Column) -> Column:
+    """Everything after scheme://[userinfo@]host (the whole string when the
+    URL has no scheme — mirroring the Python twin's fallback)."""
+    return F.regexp_replace(
+        F.trim(url), r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?[A-Za-z0-9.-]+", ""
+    )
 
 
 def in_containment(host: Column, seed_domains: tuple[str, ...] = DEFAULT_SEED_DOMAINS) -> Column:
@@ -83,7 +96,7 @@ def in_containment(host: Column, seed_domains: tuple[str, ...] = DEFAULT_SEED_DO
 
 def url_extension(url: Column) -> Column:
     """Last '.'-separated component of the path, lowercased; empty if no dot."""
-    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.substring_index(F.substring_index(_url_rest(url), "?", 1), "#", 1)
     last_seg = F.element_at(F.split(path, "/"), -1)
     return F.when(
         last_seg.contains("."), F.lower(F.element_at(F.split(last_seg, r"\."), -1))

@@ -80,8 +80,20 @@ def make_robots(hosts: list[dict], seed: int = SEED) -> pd.DataFrame:
         disallow = ["/private"] if rng.random() < 0.5 else []
         if rng.random() < 0.2:
             disallow.append("/admin")
+        if is_html:
+            body = "<html><body><h1>404 robots</h1></body></html>"
+        else:
+            lines = ["User-agent: *"]
+            lines += [f"Disallow: {p}" for p in disallow]
+            if delay:
+                lines.append(f"Crawl-delay: {delay}")
+            lines.append(f"Sitemap: http://{h['host']}/sitemap.xml")
+            body = "\n".join(lines) + "\n"
         rows.append({
             "host": h["host"],
+            "body": body,  # raw robots.txt — what the engine parses (S4)
+            # structured truth, used by the simulator oracle; the engine
+            # parsing `body` and matching the simulator proves the parser
             "disallow_prefixes": disallow,
             "crawl_delay_s": delay,
             "sitemaps": [f"http://{h['host']}/sitemap.xml"],
