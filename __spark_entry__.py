@@ -257,8 +257,9 @@ def _q_simhash(spark, sf):
 
 
 def _q_ngram_jaccard(spark, sf):
-    # exact n-gram Jaccard near-dup pairs
-    return _ngram.jaccard_pairs(load(spark, sf, "documents"), threshold=0.2)
+    # n-gram Jaccard near-dup pairs over informative shingles (df ≤ 64 —
+    # hot-shingle cap; see dedup.ngram.jaccard_pairs)
+    return _ngram.jaccard_pairs(load(spark, sf, "documents"), threshold=0.2, max_df=64)
 
 
 def _q_embedding_neardup(spark, sf):
@@ -591,20 +592,30 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash.simhash_oracle_sql() + " ORDER BY doc_id",
         "ngram_jaccard_pairs": f"""
             WITH sh AS (
-                SELECT doc_id, list_distinct(
+                SELECT doc_id, unnest(list_distinct(
                     list_transform(
                         range(1, greatest(len({toks}) - 2, 0) + 1),
                         i -> array_to_string(({toks})[i:i+2], ' ')
                     )
-                ) AS sh
+                )) AS g
                 FROM documents
-            ), s AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0)
-            SELECT a.doc_id AS a, b.doc_id AS b,
-                   round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-                         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-                        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.2
+            ), keep AS (
+                SELECT g FROM sh GROUP BY g HAVING count(*) <= 64
+            ), e AS (
+                SELECT sh.doc_id, sh.g FROM sh JOIN keep USING (g)
+            ), sz AS (
+                SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id
+            ), ex AS (
+                SELECT e.doc_id, e.g, sz.sz FROM e JOIN sz USING (doc_id)
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, a.sz AS sza, b.sz AS szb,
+                       count(*)::DOUBLE AS inter
+                FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT a, b, round(inter / (sza + szb - inter), 6) AS jaccard
+            FROM inter
+            WHERE round(inter / (sza + szb - inter), 6) >= 0.2
             ORDER BY a, b
         """,
         "embedding_neardup_pairs": """

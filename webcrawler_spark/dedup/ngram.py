@@ -34,12 +34,23 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
 ) -> DataFrame:
-    """(a, b, jaccard ≥ threshold), a < b, over n-gram shingle sets."""
+    """(a, b, jaccard ≥ threshold), a < b, over n-gram shingle sets.
+
+    With ``max_df``, shingles appearing in more than max_df documents are
+    removed from the *universe* before anything else — Jaccard is then
+    computed over the remaining informative shingles (set sizes included).
+    This caps the d² pair blow-up of hot shingles (the standard trick) and
+    is a well-defined metric, not a truncation artifact.
+    """
     sets = shingle_sets(docs, id_col, text_col, n)
-    ex = sets.select("doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("g"))
-    if max_df is not None:
-        df_counts = ex.groupBy("g").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
-        ex = ex.join(df_counts.select("g"), "g", "left_semi")
+    if max_df is None:
+        ex = sets.select("doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("g"))
+    else:
+        e0 = sets.select("doc_id", F.explode("sh").alias("g"))
+        df_counts = e0.groupBy("g").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+        e0 = e0.join(df_counts.select("g"), "g", "left_semi")
+        sz = e0.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        ex = e0.join(sz, "doc_id")
     l, r = ex.alias("l"), ex.alias("r")
     shared = (
         l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.doc_id") < F.col("r.doc_id")))
