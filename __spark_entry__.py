@@ -131,9 +131,13 @@ def _q_link_join(spark, sf):
 
 
 def _q_anti_join(spark, sf):
-    # J2: the workhorse LEFT ANTI dedup join — customers with no orders
+    # J2: the workhorse LEFT ANTI dedup join — customers with no 1998+
+    # orders ("candidates not in the seen set"). The unfiltered variant
+    # returns 0 rows at sf0.01 (every customer has some order), which
+    # proved only that the plan compiles; this filter yields rows at every
+    # sf (8 at sf0.01, 74 at sf0.1) so the driver hash checks real output.
     c = load(spark, sf, "customer")
-    o = load(spark, sf, "orders")
+    o = load(spark, sf, "orders").filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -166,8 +170,19 @@ def _q_frontier_pick(spark, sf):
 
 
 def _q_first_writer_dedup(spark, sf):
-    # W2/J5: first-writer-wins exact-content dedup groups over documents
-    return _exact.dedup_groups(load(spark, sf, "documents")).orderBy("canonical_id")
+    # W2/J5: first-writer-wins exact-content dedup groups. The raw
+    # documents table has no exact duplicates at sf0.01 (0 rows proved
+    # nothing), so collisions are synthesized deterministically: every doc
+    # takes the text of its group-of-5 base doc (doc_id - doc_id % 5) via
+    # a self-join — the same trick url_canonicalize uses with part.
+    d = load(spark, sf, "documents")
+    base = d.select(F.col("doc_id").alias("bid"), "text")
+    cloned = (
+        d.select("doc_id", (F.col("doc_id") - F.col("doc_id") % 5).alias("bid"))
+        .join(base, "bid")
+        .select("doc_id", "text")
+    )
+    return _exact.dedup_groups(cloned).orderBy("canonical_id")
 
 
 def _q_tpch_q1(spark, sf):
@@ -227,9 +242,24 @@ def _q_fingerprint(spark, sf):
 
 
 def _q_postings(spark, sf):
-    # A4: inverted-index build (frequency + ordered positions)
+    # A4: inverted-index build (frequency + ordered positions).
+    # build_postings keeps positions as a real array<int>; the contract
+    # projection serializes it to 'p0,p1,...' because the driver's
+    # canonicalizer sorts/hashes rows with pandas and cannot hash list
+    # cells (the one red row of round 1).
     d = load(spark, sf, "documents")
-    return build_postings(d).orderBy("doc", "word")
+    return (
+        build_postings(d)
+        .select(
+            "doc",
+            "word",
+            "frequency",
+            F.array_join(
+                F.transform("positions", lambda x: x.cast("string")), ","
+            ).alias("positions"),
+        )
+        .orderBy("doc", "word")
+    )
 
 
 def _q_vocabulary(spark, sf):
@@ -244,6 +274,81 @@ def _q_search(spark, sf):
     d = load(spark, sf, "documents")
     postings = build_postings(d)
     return _search(spark, postings, "table value row").drop("all_positions")
+
+
+def _q_max_freq_word(spark, sf):
+    # A8: max-frequency word per site via max_by (report stats shape —
+    # 'proizvodnja' 2,266 on one site, 'slovenije' 9,105 overall;
+    # implementation-indexing/report/main.tex:97-98). Ties broken
+    # deterministically by a portable (zero-padded total | word) key so
+    # Spark max_by and DuckDB arg_max agree bit-for-bit.
+    d = load(spark, sf, "documents")
+    p = build_postings(d).join(
+        d.select(F.col("doc_id").alias("doc"), "source"), "doc"
+    )
+    totals = p.groupBy("source", "word").agg(
+        F.sum("frequency").cast("long").alias("total")
+    )
+    key = F.concat(F.lpad(F.col("total").cast("string"), 10, "0"), F.lit("|"), F.col("word"))
+    return (
+        totals.groupBy("source")
+        .agg(
+            F.max_by("word", key).alias("top_word"),
+            F.max("total").cast("long").alias("top_total"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q_page_data_types(spark, sf):
+    # X1 + A3: content-type → DATA_TYPE (DatabaseHandler.java:230-247)
+    # then GROUP BY data_type_code (sql_selects.sql:12), over synthetic
+    # content types derived deterministically from part
+    from webcrawler_spark.functions.mime import CONTENT_TYPE_TO_DATA_TYPE, data_type_code
+
+    cts = list(CONTENT_TYPE_TO_DATA_TYPE) + ["text/html"]
+    p = load(spark, sf, "part")
+    ct = F.element_at(
+        F.array(*[F.lit(c) for c in cts]), (F.col("p_partkey") % 6 + 1).cast("int")
+    )
+    return (
+        p.select(data_type_code(ct).alias("data_type_code"))
+        .filter(F.col("data_type_code").isNotNull())  # HTML falls through the switch
+        .groupBy("data_type_code")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("data_type_code")
+    )
+
+
+def _q_graph_export(spark, sf):
+    # S10: CSV vertex/edge graph export (sql_selects.sql:19-21) —
+    # write the customer→order edge list + customer vertices as headered
+    # CSV, read them back, and aggregate; proves the sink round-trips.
+    import shutil
+    import tempfile
+
+    from webcrawler_spark.sources.sinks import export_graph_csv
+
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    vertices = c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("label"))
+    edges = o.select(F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("dst"))
+    root = tempfile.mkdtemp(prefix="graph_csv_")
+    try:
+        export_graph_csv(vertices, edges, root)
+        v = spark.read.option("header", True).csv(f"{root}/vertices")
+        e = spark.read.option("header", True).csv(f"{root}/edges")
+        out = (
+            e.select(F.col("src").cast("long").alias("id"))
+            .join(v.select(F.col("id").cast("long"), "label"), "id")
+            .groupBy("label")
+            .agg(F.count("*").cast("long").alias("n_edges"))
+            .orderBy(F.desc("n_edges"), F.asc("label"))
+            .limit(25)
+        )
+        return out.localCheckpoint(eager=True)  # materialize before rmtree
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _q_minhash_signatures(spark, sf):
@@ -387,6 +492,33 @@ def _q_image_features(spark, sf):
     )
 
 
+def _q_extraction_golden(spark, sf):
+    # X8-X13/J6/S7: mode-B XPath extraction over the reference's committed
+    # input-extraction corpus, long format; the oracle is the reference's
+    # own 8 golden data_*.json files as a VALUES relation (ground truth
+    # constants, not derived from our pipeline)
+    from webcrawler_spark.extract import golden as G
+
+    corpus = G.read_extraction_corpus(spark)
+    return G.mode_b_rows(corpus).orderBy("site", "page", "item", "field", "idx")
+
+
+def _q_extraction_mode_a(spark, sf):
+    # X8/X9/J6: mode-A pure-Catalyst regex extraction with PROD_ID/alt
+    # key-joins; oracle = the overstock golden-anchored subset (fields
+    # where the reference's mode A and mode B agree, i.e. everything but
+    # SavingPercent's parens — checked transformed)
+    from webcrawler_spark.extract import golden as G
+
+    corpus = G.read_extraction_corpus(spark)
+    return (
+        G.mode_a_rows(corpus)
+        .filter((F.col("site") == "overstock.com") & (F.col("field") != "SavingPercent"))
+        .orderBy("page", "item", "field")
+        .select("page", "item", "field", "value")
+    )
+
+
 def _q_doc_summary(spark, sf):
     # the entry() flagship, parameterized by sf_dir (oracle-checked)
     from webcrawler_spark.functions.text import fingerprint64
@@ -424,6 +556,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality": _q_lang_quality,
         "doc_fingerprint": _q_fingerprint,
         "postings": _q_postings,
+        "max_freq_word": _q_max_freq_word,
+        "page_data_types": _q_page_data_types,
+        "graph_export": _q_graph_export,
         "vocabulary": _q_vocabulary,
         "search_scores": _q_search,
         "minhash_signatures": _q_minhash_signatures,
@@ -434,6 +569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_counts": _q_tumbling,
         "sessionize": _q_sessionize,
         "url_canonicalize": _q_url_canonicalize,
+        "extraction_golden": _q_extraction_golden,
+        "extraction_mode_a": _q_extraction_mode_a,
         "crawl_pages": _q_crawl_pages,
         "image_invariants": _q_image_invariants,
         "image_features": _q_image_features,
@@ -501,7 +638,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anti_join_unseen": """
             SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+            )
             ORDER BY c_custkey
         """,
         "semi_join_terms": """
@@ -514,8 +654,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_custkey ORDER BY o_custkey
         """,
         "first_writer_dedup": f"""
+            WITH cloned AS (
+                SELECT d.doc_id, b.text
+                FROM documents d JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 5
+            )
             SELECT fingerprint, count(*)::BIGINT AS n_docs, min(doc_id) AS canonical_id
-            FROM (SELECT doc_id, {_DUCK_FP} AS fingerprint FROM documents)
+            FROM (SELECT doc_id, {_DUCK_FP} AS fingerprint FROM cloned)
             GROUP BY fingerprint
             HAVING count(*) >= 2
             ORDER BY canonical_id
@@ -571,8 +715,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc, word, count(*)::INT AS frequency,
-                   list_sort(list(pos)) AS positions
+                   array_to_string(list_sort(list(pos)), ',') AS positions
             FROM tok GROUP BY doc, word ORDER BY doc, word
+        """,
+        "max_freq_word": f"""
+            WITH tok AS (
+                SELECT doc_id AS doc, unnest({toks_nosw}) AS word FROM documents
+            ), p AS (
+                SELECT doc, word, count(*)::INT AS frequency FROM tok GROUP BY doc, word
+            ), totals AS (
+                SELECT d.source, p.word, sum(p.frequency)::BIGINT AS total
+                FROM p JOIN documents d ON d.doc_id = p.doc
+                GROUP BY d.source, p.word
+            )
+            SELECT source,
+                   arg_max(word, concat(lpad(total::VARCHAR, 10, '0'), '|', word)) AS top_word,
+                   max(total)::BIGINT AS top_total
+            FROM totals GROUP BY source ORDER BY source
+        """,
+        "page_data_types": """
+            WITH ct AS (
+                SELECT (['application/pdf', 'application/msword',
+                         'application/vnd.openxmlformats-officedocument.wordprocessingml.document',
+                         'application/vnd.ms-powerpoint',
+                         'application/vnd.openxmlformats-officedocument.presentationml.presentation',
+                         'text/html'])[(p_partkey % 6 + 1)::INT] AS c
+                FROM part
+            ), coded AS (
+                SELECT CASE c
+                    WHEN 'application/pdf' THEN 'PDF'
+                    WHEN 'application/msword' THEN 'DOC'
+                    WHEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document' THEN 'DOCX'
+                    WHEN 'application/vnd.ms-powerpoint' THEN 'PPT'
+                    WHEN 'application/vnd.openxmlformats-officedocument.presentationml.presentation' THEN 'PPTX'
+                    END AS data_type_code
+                FROM ct
+            )
+            SELECT data_type_code, count(*)::BIGINT AS n FROM coded
+            WHERE data_type_code IS NOT NULL
+            GROUP BY data_type_code ORDER BY data_type_code
+        """,
+        "graph_export": """
+            SELECT c_name AS label, count(*)::BIGINT AS n_edges
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_name
+            ORDER BY n_edges DESC, label ASC LIMIT 25
         """,
         "vocabulary": f"""
             WITH tok AS (SELECT unnest({toks_nosw}) AS word FROM documents)
@@ -691,6 +878,41 @@ def oracle_sql() -> dict[str, str]:
                              OR canon_url LIKE '%.zip' THEN true ELSE false END AS is_binary
             FROM c ORDER BY id
         """,
+        "extraction_golden": _golden_oracle_values(),
+        "extraction_mode_a": _golden_oracle_mode_a(),
         # crawl_pages / image_invariants / image_features: non-SQL-expressible
         # (engine vs simulator oracle and pandas-UDF pipelines) — rows-only.
     }
+
+
+def _sql_escape(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _golden_oracle_values() -> str:
+    """The 8 committed data_*.json goldens flattened as a VALUES relation."""
+    from webcrawler_spark.extract import golden as G
+
+    vals = ",\n".join(
+        f"('{_sql_escape(s)}','{_sql_escape(p)}',{i},'{_sql_escape(f)}',{ix},'{_sql_escape(v)}')"
+        for s, p, i, f, ix, v in G.golden_rows()
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) AS t(site, page, item, field, idx, value) "
+        "ORDER BY site, page, item, field, idx"
+    )
+
+
+def _golden_oracle_mode_a() -> str:
+    """Overstock goldens minus SavingPercent (mode A drops its parens)."""
+    from webcrawler_spark.extract import golden as G
+
+    vals = ",\n".join(
+        f"('{_sql_escape(p)}',{i},'{_sql_escape(f)}','{_sql_escape(v)}')"
+        for s, p, i, f, ix, v in G.golden_rows()
+        if s == "overstock.com" and f != "SavingPercent"
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) AS t(page, item, field, value) "
+        "ORDER BY page, item, field"
+    )

@@ -1,0 +1,89 @@
+"""S7 real-corpus indexing: the reference's 1,416-page ``input-indexing/``
+corpus through scan → clean → tokenize → postings, asserting our
+deterministic aggregates against the reference's published numbers
+(implementation-indexing/report/main.tex:96-98).
+
+Published vs ours (documented tokenizer delta — nltk ``word_tokenize``
+keeps hyphen/period compounds as single tokens and is not in this
+container; X14's unicode-split approximation changes the long tail):
+
+* vocabulary: published 48,081 — ours 44,924 (−6.6%)
+* global max-frequency word: 'slovenije' in BOTH; published total 9,105 —
+  ours 9,724 (+6.8%)
+* max single-document posting: 'proizvodnja' on evem.gov.si in BOTH;
+  published 2,266 — ours 2,268 (+0.09%)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_spark.index import real_corpus as RC
+
+
+@pytest.fixture(scope="module")
+def postings(spark):
+    corpus = RC.read_index_corpus(spark)
+    p = RC.build_real_postings(corpus).cache()
+    p.count()
+    yield p
+    p.unpersist()
+
+
+def test_corpus_scan_counts(spark):
+    corpus = RC.read_index_corpus(spark)
+    per_site = dict(
+        (r["site"], r["n"])
+        for r in corpus.select(F.split("doc", "/").getItem(0).alias("site"))
+        .groupBy("site").agg(F.count("*").alias("n")).collect()
+    )
+    # 146+59+650+561 = 1,416 html files (SURVEY §5)
+    assert per_site == {
+        "e-prostor.gov.si": 146,
+        "e-uprava.gov.si": 59,
+        "evem.gov.si": 650,
+        "podatki.gov.si": 561,
+    }
+
+
+def test_headline_aggregates(postings):
+    stats = RC.corpus_stats(postings).collect()[0]
+    assert stats["vocabulary"] == 44924       # published: 48,081 (nltk delta)
+    assert stats["top_word"] == "slovenije"   # matches the published report
+    assert stats["top_total"] == 9724         # published: 9,105 (nltk delta)
+
+
+def test_max_single_document_posting(postings):
+    top = postings.orderBy(F.desc("frequency"), "word").limit(1).collect()[0]
+    # published: 'proizvodnja' 2,266 on evem.gov.si — same word, same site
+    assert top["word"] == "proizvodnja"
+    assert top["doc"].startswith("evem.gov.si/")
+    assert top["frequency"] == 2268
+
+
+def test_per_site_top_words(postings):
+    tops = {r["site"]: r["top_word"] for r in RC.per_site_top_words(postings).collect()}
+    assert tops["podatki.gov.si"] == "slovenije"
+    assert set(tops) == set(RC.INDEX_SITES)
+
+
+def test_positions_are_dense_filtered_indices(postings):
+    """Positions index the *stopword-filtered* token stream
+    (processing.py:101-116): per doc, the union of all positions is
+    exactly 0..n_tokens-1."""
+    check = (
+        postings.groupBy("doc")
+        .agg(
+            F.sum("frequency").alias("n"),
+            F.max(F.array_max("positions")).alias("mx"),
+            F.min(F.array_min("positions")).alias("mn"),
+            F.sum(F.size("positions")).alias("npos"),
+        )
+        .filter(
+            (F.col("npos") != F.col("n"))
+            | (F.col("mx") != F.col("n") - 1)
+            | (F.col("mn") != 0)
+        )
+    )
+    assert check.count() == 0

@@ -48,7 +48,16 @@ def near_duplicate_pairs(
     n_blocks: int = 8,
 ) -> DataFrame:
     """Exact all-pairs (a, b, cos ≥ threshold), a < b — blocked numpy
-    matmul per block pair (see module docstring)."""
+    matmul per block pair (see module docstring).
+
+    ``id_col`` must be integral (the output schema is long); a non-numeric
+    id would silently cast to NULL, so fail fast instead.
+    """
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise TypeError(
+            f"near_duplicate_pairs requires an integral {id_col!r} column, got {id_type}"
+        )
     v = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

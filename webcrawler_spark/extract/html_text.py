@@ -33,6 +33,25 @@ VOID_TAGS = {"br", "img", "hr", "input", "meta", "link", "area", "base",
              "col", "embed", "source", "track", "wbr"}
 KILL_TAGS = {"script", "style", "nav", "footer"}
 
+# HTML optional-end-tag recovery (the subset lxml/libxml2 applies that
+# matters for positional XPaths over real saved pages): opening one of
+# these tags implicitly closes any open tag in its set.
+_AUTO_CLOSE = {
+    "p": {"p"},
+    "li": {"li"},
+    "option": {"option"},
+    "tr": {"tr", "td", "th"},
+    "td": {"td", "th"},
+    "th": {"td", "th"},
+    "thead": {"tr", "td", "th", "tbody", "thead", "tfoot"},
+    "tbody": {"tr", "td", "th", "tbody", "thead", "tfoot"},
+    "tfoot": {"tr", "td", "th", "tbody", "thead", "tfoot"},
+    "dt": {"dt", "dd"},
+    "dd": {"dt", "dd"},
+}
+# an auto-close never propagates past one of these container tags
+_AUTO_CLOSE_BARRIER = {"table", "ul", "ol", "select", "dl", "#root"}
+
 
 class Node:
     __slots__ = ("tag", "attrs", "children", "text_parts")
@@ -42,6 +61,19 @@ class Node:
         self.attrs = dict(attrs or {})
         self.children: list[Node] = []
         self.text_parts: list[tuple[int, str]] = []  # (child-slot, text)
+
+    def text_nodes(self) -> list[str]:
+        """Direct child text nodes in document order, merged per slot —
+        the lxml ``text()`` axis (text between child elements)."""
+        parts: dict[int, list[str]] = {}
+        for s, t in self.text_parts:
+            parts.setdefault(s, []).append(t)
+        return ["".join(parts[i]) for i in sorted(parts)]
+
+    def iter(self):
+        yield self
+        for c in self.children:
+            yield from c.iter()
 
     def text_content(self, kill: frozenset = frozenset()) -> str:
         if self.tag in kill:
@@ -68,6 +100,15 @@ class _TreeBuilder(HTMLParser):
         self.stack = [self.root]
 
     def handle_starttag(self, tag, attrs):
+        closes = _AUTO_CLOSE.get(tag)
+        if closes:
+            for i in range(len(self.stack) - 1, 0, -1):
+                t = self.stack[i].tag
+                if t in closes:
+                    del self.stack[i:]
+                    break
+                if t in _AUTO_CLOSE_BARRIER:
+                    break
         node = Node(tag, attrs)
         self.stack[-1].children.append(node)
         if tag not in VOID_TAGS:
@@ -102,44 +143,133 @@ def visible_text(html: str) -> str:
     return _WS.sub(" ", txt).strip()
 
 
-_STEP = re.compile(r"^([A-Za-z0-9#*]+)(?:\[(\d+)\])?$")
+# One XPath step: optional descendant axis handled by the parser; name is
+# a tag, '*', 'text()', or '@attr'; predicates are [@attr='v'] / [@attr="v"]
+# and/or a positional [n], in either order.
+_STEP = re.compile(
+    r"^(?P<name>[A-Za-z0-9#*-]+|\*|text\(\)|@[A-Za-z0-9_:-]+)"
+    r"(?P<preds>(?:\[[^\]]*\])*)$"
+)
+_PRED = re.compile(r"\[(?:@(?P<attr>[A-Za-z0-9_:-]+)=(?P<q>['\"])(?P<val>.*?)(?P=q)|(?P<pos>\d+))\]")
 
 
-def _select(node: Node, steps: list[tuple[str, int | None]]) -> list[Node]:
-    cur = [node]
-    for tag, idx in steps:
-        nxt = []
-        for n in cur:
-            matches = [c for c in n.children if c.tag == tag or tag == "*"]
-            if idx is not None:
-                if len(matches) >= idx:
-                    nxt.append(matches[idx - 1])
+class _Step:
+    __slots__ = ("name", "attr_preds", "pos", "descendant")
+
+    def __init__(self, name, attr_preds, pos, descendant):
+        self.name = name                # tag | '*' | 'text()' | '@attr'
+        self.attr_preds = attr_preds    # list[(attr, value)]
+        self.pos = pos                  # int | None (1-based)
+        self.descendant = descendant    # True for '//' axis
+
+
+def _parse_path(path: str) -> list[_Step]:
+    parts = path.strip().split("/")
+    # leading absolute '/': '' head; '//' produces an extra '' marking the
+    # descendant axis for the following step
+    steps: list[_Step] = []
+    descendant = False
+    for i, part in enumerate(parts):
+        if part == "":
+            if i > 0 or path.startswith("//"):
+                descendant = True
+            continue
+        m = _STEP.match(part)
+        if not m:
+            raise ValueError(f"unsupported XPath step: {part!r}")
+        name = m.group("name")
+        attr_preds, pos = [], None
+        for pm in _PRED.finditer(m.group("preds") or ""):
+            if pm.group("pos") is not None:
+                pos = int(pm.group("pos"))
             else:
-                nxt.extend(matches)
+                attr_preds.append((pm.group("attr"), pm.group("val")))
+        if not name.startswith("@") and name != "text()":
+            name = name.lower()
+        steps.append(_Step(name, attr_preds, pos, descendant))
+        descendant = False
+    return steps
+
+
+def _matches(node: Node, step: _Step) -> bool:
+    if step.name != "*" and node.tag != step.name:
+        return False
+    return all(node.attrs.get(a) == v for a, v in step.attr_preds)
+
+
+def _select(root: Node, steps: list[_Step]):
+    """Evaluate; returns list of Node, or list of str if the final step is
+    text() / @attr. Positional predicates are per parent context (lxml)."""
+    cur: list = [root]
+    for step in steps:
+        nxt: list = []
+        if step.name == "text()":
+            for n in cur:
+                texts = n.text_nodes()
+                if step.pos is not None:
+                    if len(texts) >= step.pos:
+                        nxt.append(texts[step.pos - 1])
+                else:
+                    nxt.extend(texts)
+        elif step.name.startswith("@"):
+            a = step.name[1:]
+            for n in cur:
+                if a in n.attrs:
+                    nxt.append(n.attrs[a] or "")
+        elif step.descendant:
+            # document-order descendant search; positional predicate
+            # selects from the whole matched set (lxml's (//x)[n] is rare —
+            # reference paths never combine // with [n], keep global)
+            for n in cur:
+                hits = [d for d in n.iter() if d is not n and _matches(d, step)]
+                if step.pos is not None:
+                    if len(hits) >= step.pos:
+                        nxt.append(hits[step.pos - 1])
+                else:
+                    nxt.extend(hits)
+        else:
+            for n in cur:
+                matches = [c for c in n.children if _matches(c, step)]
+                if step.pos is not None:
+                    if len(matches) >= step.pos:
+                        nxt.append(matches[step.pos - 1])
+                else:
+                    nxt.extend(matches)
         cur = nxt
     return cur
 
 
-def _parse_path(path: str) -> list[tuple[str, int | None]]:
-    steps = []
-    for part in path.strip("/").split("/"):
-        m = _STEP.match(part)
-        if not m:
-            raise ValueError(f"unsupported XPath step: {part!r}")
-        steps.append((m.group(1).lower(), int(m.group(2)) if m.group(2) else None))
-    return steps
+def _as_string(hit) -> str:
+    return hit if isinstance(hit, str) else hit.text_content()
+
+
+def xpath_raw(html_or_node, path: str) -> list[str]:
+    """All matches as raw strings (no whitespace normalization): text
+    nodes / attribute values verbatim, element nodes as string() — the
+    exact lxml ``tree.xpath(...)`` result list for the supported grammar."""
+    root = html_or_node if isinstance(html_or_node, Node) else parse_html(html_or_node)
+    return [_as_string(h) for h in _select(root, _parse_path(path))]
+
+
+def xpath_first(html_or_node, path: str) -> str:
+    """The reference's extract_x_path (run-extraction.py:115-119): first
+    match, '' if none, then \\n/\\t removed and ends stripped."""
+    hits = xpath_raw(html_or_node, path)
+    if not hits:
+        return ""
+    return hits[0].replace("\n", "").replace("\t", "").lstrip().rstrip()
 
 
 def xpath_string(html: str, path: str) -> str:
-    """string() of the first node matched by an absolute positional path."""
-    hits = _select(parse_html(html), _parse_path(path))
-    return _WS.sub(" ", hits[0].text_content()).strip() if hits else ""
+    """string() of the first node matched, whitespace-normalized."""
+    hits = xpath_raw(html, path)
+    return _WS.sub(" ", hits[0]).strip() if hits else ""
 
 
 def xpath_all(html: str, path: str) -> list[str]:
-    """string() of every node matched (the tr[i]-loop replacement, X11)."""
-    return [_WS.sub(" ", h.text_content()).strip()
-            for h in _select(parse_html(html), _parse_path(path))]
+    """string() of every match, whitespace-normalized (the tr[i]-loop
+    replacement, X11)."""
+    return [_WS.sub(" ", h).strip() for h in xpath_raw(html, path)]
 
 
 # ---------------------------------------------------------------------------

@@ -59,6 +59,21 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+TOKEN_SPLIT_RE_UNICODE = r"[^\p{L}\p{N}]+"
+
+
+def tokens_unicode(col: Column) -> Column:
+    """X14 unicode form for non-ASCII corpora (Slovene č/š/ž): lowercase →
+    split on non-letter/digit runs (unicode classes) → drop empties.
+
+    DuckDB (RE2): ``list_filter(regexp_split_to_array(lower(x),
+    '[^\\p{L}\\p{N}]+'), t -> t <> '')`` — same class syntax.
+    """
+    return F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_RE_UNICODE), lambda t: t != F.lit("")
+    )
+
+
 def remove_stopwords(tok: Column, stopwords: tuple[str, ...]) -> Column:
     """F12: drop stopwords from a token array (processing.py:20).
 

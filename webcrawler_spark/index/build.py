@@ -25,11 +25,14 @@ def build_postings(
     doc_col: str = "doc_id",
     text_col: str = "text",
     stopwords: tuple[str, ...] = STOPWORDS_EN,
+    tokenizer=tokens,
 ) -> DataFrame:
     """postings(doc, word, frequency, positions) — positions are 0-based
     token indices *after* stopword removal, mirroring the reference which
-    indexes positions in its filtered token list (processing.py:101-116)."""
-    tok = remove_stopwords(tokens(F.col(text_col)), stopwords)
+    indexes positions in its filtered token list (processing.py:101-116).
+    ``tokenizer`` defaults to the ASCII X14 approximation; pass
+    ``text.tokens_unicode`` for non-ASCII corpora."""
+    tok = remove_stopwords(tokenizer(F.col(text_col)), stopwords)
     return (
         docs.select(F.col(doc_col).alias("doc"), F.posexplode(tok).alias("pos", "word"))
         .groupBy("doc", "word")
