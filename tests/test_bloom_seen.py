@@ -1,0 +1,65 @@
+"""F5 Bloom-sidecar seen set (north_rule): the prefilter must never change
+results — only route definitely-unseen candidates around the exact
+anti-join. Checked at the operator level (kernel admission) and end-to-end
+(bloom-enabled crawl == plain crawl == simulator)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_spark.crawl.engine import CrawlConfig, CrawlEngine
+from webcrawler_spark.crawl.kernel import admission_kernel
+from webcrawler_spark.functions.bloom import anti_join_with_bloom, build_bloom
+from webcrawler_spark.sources.fixtures import SEED_URLS, make_webgraph
+from webcrawler_spark.sources.simulator import simulate
+
+
+def test_bloom_anti_join_exact_equality(spark):
+    """anti_join_with_bloom == plain LEFT ANTI, row for row (FPR routes
+    rows to the confirm join, never into or out of the result)."""
+    cand = spark.range(20_000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 97).cast("string"),
+                 F.lit(".gov.si/p"), F.col("id").cast("string")).alias("url"),
+        F.col("id").alias("meta"),
+    )
+    seen = spark.range(0, 20_000, 3).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 97).cast("string"),
+                 F.lit(".gov.si/p"), F.col("id").cast("string")).alias("url")
+    )
+    sidecar = build_bloom(seen, "url", fpp=0.05)
+    plain = {tuple(r) for r in cand.join(seen, "url", "left_anti").collect()}
+    bloomed = {tuple(r) for r in anti_join_with_bloom(cand, seen, "url", sidecar).collect()}
+    assert bloomed == plain and len(plain) > 0
+    sidecar.destroy()
+
+
+def test_bloom_kernel_admission_equality(spark):
+    a = admission_kernel(spark, 200_000, 100_000, use_bloom=False)
+    b = admission_kernel(spark, 200_000, 100_000, use_bloom=True)
+    ra = {tuple(r) for r in a.collect()}
+    rb = {tuple(r) for r in b.collect()}
+    assert ra == rb and len(ra) > 100_000
+
+
+@pytest.mark.slow
+def test_bloom_crawl_matches_simulator(spark, tmp_path_factory):
+    """End-to-end: a bloom-prefiltered crawl reproduces the simulator's
+    seen set and page census exactly (FPR must not change results)."""
+    wg, robots = make_webgraph(n_hosts=5, pages_per_host_base=6)
+    sim = simulate(wg, robots, list(SEED_URLS), max_rounds=120)
+    root = str(tmp_path_factory.mktemp("bloom_crawl"))
+    eng = CrawlEngine(
+        spark,
+        spark.createDataFrame(wg),
+        spark.createDataFrame(robots),
+        list(SEED_URLS),
+        CrawlConfig(store_root=root, max_rounds=120, checkpoint_every=5,
+                    collect_metrics=False, use_bloom_prefilter=True),
+    )
+    eng.run()
+    eseen = {r["url"] for r in eng.seen_df().collect()}
+    assert eseen == sim.seen
+    epages = {(r["url"], r["page_type_code"]) for r in eng.pages_df().collect()}
+    spages = {(u, v["page_type_code"]) for u, v in sim.pages.items()}
+    assert epages == spages

@@ -175,3 +175,87 @@ def test_stateful_streaming_counts(spark, tmp_path, sf_dir):
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("tv")).collect()
     }
     assert got == want
+
+
+def test_parse_robots_consecutive_ua_groups():
+    """Consecutive User-agent lines form one group (standard REP): rules
+    after 'User-agent: *' + 'User-agent: googlebot' apply to BOTH; a new
+    UA line after a rule line starts a fresh group."""
+    from webcrawler_spark.functions.robots import parse_robots_py
+
+    body = (
+        "User-agent: *\nUser-agent: googlebot\nDisallow: /a\n"
+        "User-agent: bingbot\nDisallow: /b\n"
+    )
+    r = parse_robots_py(body)  # default agent '*'
+    assert r.disallow == ["/a"]
+    rg = parse_robots_py(body, user_agent="googlebot")
+    assert rg.disallow == ["/a"]
+    # bingbot matches its own group AND the '*' group (this parser merges
+    # all matching groups — the engine only ever asks for '*')
+    rb = parse_robots_py(body, user_agent="bingbot")
+    assert rb.disallow == ["/a", "/b"]
+    # a rule line ends the UA run: the second group must not inherit '*'
+    body2 = "User-agent: googlebot\nDisallow: /x\nUser-agent: other\nDisallow: /y\n"
+    assert parse_robots_py(body2).disallow == []
+
+
+def test_robots_allow_longest_match():
+    """Longest-match Allow/Disallow with allow winning ties (F9)."""
+    from webcrawler_spark.functions.robots import RobotsRules
+
+    r = RobotsRules(disallow=["/private"], allow=["/private/open"])
+    assert not r.allows("/private/x")
+    assert r.allows("/private/open/p1")
+    assert r.allows("/other")
+    # tie: equal-length allow and disallow → allow wins
+    t = RobotsRules(disallow=["/abc"], allow=["/abc"])
+    assert t.allows("/abc/d")
+
+
+def test_engine_honors_allow_carveout(spark, tmp_path_factory):
+    """A /private/open page admitted by the Allow rule is crawled by BOTH
+    engine and simulator; plain /private stays blocked. Built on a
+    hand-rolled webgraph so the carve-out is guaranteed present."""
+    import pandas as pd
+
+    from webcrawler_spark.crawl.engine import CrawlConfig, CrawlEngine
+    from webcrawler_spark.sources.simulator import simulate
+
+    wg = pd.DataFrame([
+        {"url": "http://gov.si", "host": "gov.si", "ip": "10.0.0.1",
+         "content_type": "text/html", "status": 200, "text_norm": "root page",
+         "html": '<a href="http://gov.si/private/open/p1"><a href="http://gov.si/private/p2">'
+                 '<a href="http://gov.si/p3">',
+         "img_srcs": [], "out_links": ["http://gov.si/private/open/p1",
+                                       "http://gov.si/private/p2", "http://gov.si/p3"],
+         "redirect_to": None},
+        {"url": "http://gov.si/private/open/p1", "host": "gov.si", "ip": "10.0.0.1",
+         "content_type": "text/html", "status": 200, "text_norm": "open page",
+         "html": "", "img_srcs": [], "out_links": [], "redirect_to": None},
+        {"url": "http://gov.si/private/p2", "host": "gov.si", "ip": "10.0.0.1",
+         "content_type": "text/html", "status": 200, "text_norm": "blocked page",
+         "html": "", "img_srcs": [], "out_links": [], "redirect_to": None},
+        {"url": "http://gov.si/p3", "host": "gov.si", "ip": "10.0.0.1",
+         "content_type": "text/html", "status": 200, "text_norm": "plain page",
+         "html": "", "img_srcs": [], "out_links": [], "redirect_to": None},
+    ])
+    robots = pd.DataFrame([
+        {"host": "gov.si",
+         "body": "User-agent: *\nDisallow: /private\nAllow: /private/open\n",
+         "disallow_prefixes": ["/private"], "allow_prefixes": ["/private/open"],
+         "crawl_delay_s": 0, "sitemaps": [], "is_html_page": False},
+    ])
+    sim = simulate(wg, robots, ["http://gov.si"], max_rounds=40)
+    root = str(tmp_path_factory.mktemp("allow_crawl"))
+    eng = CrawlEngine(
+        spark, spark.createDataFrame(wg), spark.createDataFrame(robots),
+        ["http://gov.si"],
+        CrawlConfig(store_root=root, max_rounds=40, checkpoint_every=5,
+                    collect_metrics=False),
+    )
+    eng.run()
+    eseen = {r["url"] for r in eng.seen_df().collect()}
+    assert eseen == sim.seen
+    assert "http://gov.si/private/open/p1" in eseen
+    assert "http://gov.si/private/p2" not in eseen

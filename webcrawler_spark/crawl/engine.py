@@ -94,6 +94,15 @@ class CrawlConfig:
     state_partitions: int = 8      # partition cap for incrementally-unioned state
                                    # (scale: ≈ cluster cores; prevents the
                                    # union-per-substep partition blowup)
+    use_bloom_prefilter: bool = False  # F5 Bloom sidecar over the seen set
+                                   # (north_rule): rebuilt at each state
+                                   # truncation; within-round seen growth is
+                                   # covered by a small exact delta check, so
+                                   # results are identical (tested). Pays off
+                                   # when candidate batches are large; at
+                                   # tiny fixture scale the Arrow round-trip
+                                   # per sub-step outweighs the join savings,
+                                   # hence default off
     eager_state_threshold: int = 0  # sub-steps picking >= this many URLs
                                    # truncate state immediately. seen/
                                    # visited/content_map are SELF-REFERENTIAL
@@ -137,6 +146,8 @@ class CrawlEngine:
         self._live_caches: list[DataFrame] = []
         self._round_visits: list[DataFrame] = []
         self._state_dirty = False
+        self._sidecar = None  # F5 Bloom sidecar (rebuilt at state truncation)
+        self._seen_new = spark.createDataFrame([], "url string")
 
         # webgraph: the synthetic web (REF-ONLY live HTTP replaced, S2).
         # Cached once; every fetch joins picks against it.
@@ -165,9 +176,12 @@ class CrawlEngine:
             ).select(
                 "host",
                 F.col("r.disallow_prefixes").alias("disallow_prefixes"),
+                F.col("r.allow_prefixes").alias("allow_prefixes"),
                 F.col("r.crawl_delay_s").alias("crawl_delay_s"),
                 F.col("r.is_html_page").alias("is_html_page"),
             )
+        if "allow_prefixes" not in robots.columns:
+            robots = robots.withColumn("allow_prefixes", F.array().cast("array<string>"))
         live_robots = robots.filter(~F.col("is_html_page"))  # WebCrawler.java:108-112
         self.host_delay = (
             live_robots.select(
@@ -177,8 +191,11 @@ class CrawlEngine:
                 .alias("delay_ms"),  # zero-delay fallback, WebCrawler.java:178-179
             ).persist()
         )
-        self.host_disallow = (
-            live_robots.select("host", "disallow_prefixes")
+        # hosts with no Disallow line are allow-all regardless of Allow
+        # lines (longest-match needs a disallow hit to deny), so only
+        # disallow-bearing hosts enter the broadcast dim
+        self.host_rules = (
+            live_robots.select("host", "disallow_prefixes", "allow_prefixes")
             .filter(F.size("disallow_prefixes") > 0)
             .persist()
         )
@@ -203,7 +220,7 @@ class CrawlEngine:
             [], "kind string, key string, next_allowed long"
         )
         self.content_map = spark.createDataFrame(
-            [], "text string, url string, vseq long"
+            [], "fp long, text string, url string, vseq long"
         )
         self.visited_pages = spark.createDataFrame(
             [], "url string, page_type_code string, status int, time_ms long, seq long"
@@ -268,7 +285,19 @@ class CrawlEngine:
         self.store.set_meta(last_round=round_, next_seq=self._seq_base)
 
     def _read_all(self, table: str) -> DataFrame | None:
-        paths = sorted(glob.glob(f"{self.store.root}/{table}/delta_*"))
+        """Read a table's committed deltas — gated by the manifest cursor
+        so orphan delta dirs from a crash mid-commit (written after the
+        cursor last advanced) are never absorbed; a re-run round simply
+        overwrites them. This is what makes the commit effectively atomic:
+        the cursor advance (mark_round/set_meta, the LAST step of _commit)
+        is the only thing that publishes a round's deltas."""
+        last = self.store.get_meta("last_round")
+        if last is None:
+            return None
+        paths = [
+            p for p in sorted(glob.glob(f"{self.store.root}/{table}/delta_*"))
+            if int(p.rsplit("delta_r", 1)[-1]) <= last
+        ]
         if not paths:
             return None
         return self.spark.read.parquet(*paths)
@@ -281,10 +310,20 @@ class CrawlEngine:
         adm = self._read_all("page_admissions")
         visits = self._read_all("page_visits")
         consumed = self._read_all("consumed")
+        trace = self._read_all("trace")
         self.visited_pages = (visits or self.spark.createDataFrame(
             [], "url string, page_type_code string, status int, time_ms long, seq long"
         )).localCheckpoint(eager=True)
-        gone = self.visited_pages.select("url")
+        # frontier = admissions minus PICKED urls (trace ∪ consumed) — NOT
+        # minus visits: a URL visited via another pick's redirect landing
+        # was never dequeued, and an uninterrupted run would still pick it
+        # (emitting a trace row + politeness reservation before being
+        # consumed-without-storing). Subtracting visits dropped such URLs
+        # forever, so a resumed run could diverge from a clean one in
+        # trace content and per-host timing.
+        gone = self.spark.createDataFrame([], "url string")
+        if trace is not None:
+            gone = gone.unionByName(trace.select("url"))
         if consumed is not None:
             gone = gone.unionByName(consumed.select("url"))
         self.frontier = adm.join(gone, "url", "left_anti").localCheckpoint(eager=True)
@@ -295,7 +334,7 @@ class CrawlEngine:
         self.seen = seen.localCheckpoint(eager=True)
         cm = self._read_all("content_map")
         self.content_map = (cm if cm is not None else self.spark.createDataFrame(
-            [], "text string, url string, vseq long"
+            [], "fp long, text string, url string, vseq long"
         )).localCheckpoint(eager=True)
         hs = self.spark.read.parquet(f"{self.store.root}/host_state/r{last:06d}")
         self.host_state = hs.localCheckpoint(eager=True)
@@ -431,13 +470,26 @@ class CrawlEngine:
 
         htmls = fetched.filter(F.col("content_type") == "text/html")
 
-        # 6. content dedup — stored originals (J5) + first-writer window (W2)
+        # 6. content dedup — stored originals (J5) + first-writer window
+        # (W2). Hash-first join: the compound equi-key (fp, text) hash-
+        # partitions on the 8-byte xxhash64 fingerprint with the exact text
+        # equality confirming in the same join (the dedup/exact.py
+        # pattern — reference semantics are exact equality,
+        # DatabaseHandler.java:154-169). At 10^10 pages the state side
+        # splits further into an (fp, url, vseq) index join + a confirm
+        # fetch so stored text never re-shuffles; at engine scale the
+        # compound key keeps one join per sub-step.
         cm = self.content_map.select(
-            F.col("text"), F.col("url").alias("stored_url")
-        )
+            "fp", F.col("text"), F.col("url").alias("stored_url")
+        ).withColumnRenamed("fp", "cfp")
+        htmls = htmls.withColumn("fp", F.xxhash64("text_norm"))
         ded = (
-            htmls.join(cm, htmls.text_norm == cm.text, "left")
-            .drop("text")
+            htmls.join(
+                cm,
+                (htmls.fp == cm.cfp) & (htmls.text_norm == cm.text),
+                "left",
+            )
+            .drop("cfp", "text")
             .withColumn("rn", F.row_number().over(Window.partitionBy("text_norm").orderBy("seq")))
             .withColumn("first_url", F.first("url").over(Window.partitionBy("text_norm").orderBy("seq")))
         )
@@ -482,38 +534,73 @@ class CrawlEngine:
             "parent_seq",
             F.posexplode(F.concat(hrefs, onclicks)).alias("pos", "raw"),
         )
-        cand = (
-            cand.filter(~is_rejected_scheme(F.col("raw")))                       # F1
-            .withColumn("curl", canonicalize_url(F.col("raw")))                  # F2
-            .filter(F.col("curl") != "")                                         # F3
-            .withColumn("chost", url_host(F.col("curl")))
-            .filter(F.col("chost").isNotNull())
-            .filter(in_containment(F.col("chost"), cfg.seed_domains))            # F4
-            .filter(~is_binary_extension(F.col("curl")))                         # F7
+        # staged projections: each derived column computed once as an
+        # attribute, predicates reference attributes only (chained
+        # withColumn+filter lets pushdown re-inline the canonicalization
+        # chain into every conjunct — see functions/urls.py header)
+        cand = cand.filter(~is_rejected_scheme(F.col("raw"))).select(          # F1
+            "parent_url", "parent_seq", "pos",
+            canonicalize_url(F.col("raw")).alias("curl"),                      # F2
         )
-        # F9 robots (broadcast dim; null robots ⇒ allow)
-        cand = (
-            cand.join(
-                F.broadcast(self.host_disallow.withColumnRenamed("host", "chost")),
-                "chost",
-                "left",
-            )
-            .withColumn("path", _path_expr(F.col("curl")))
-            .filter(
-                F.col("disallow_prefixes").isNull()
-                | ~F.exists(
-                    "disallow_prefixes", lambda p: F.col("path").startswith(p)
-                )
-            )
+        cand = cand.select(
+            "parent_url", "parent_seq", "pos", "curl",
+            url_host(F.col("curl")).alias("chost"),
+            is_binary_extension(F.col("curl")).alias("_binext"),
         )
+        cand = cand.filter(
+            (F.col("curl") != "")                                              # F3
+            & F.col("chost").isNotNull()
+            & in_containment(F.col("chost"), cfg.seed_domains)                 # F4
+            & ~F.col("_binext")                                                # F7
+        ).drop("_binext")
+        # F9 robots: longest-match Allow/Disallow, allow wins ties (the
+        # RobotsRules.allows rule as a Catalyst expression); null robots /
+        # no disallow ⇒ allow (broadcast dim carries only disallow-bearing
+        # hosts)
+        cand = cand.join(
+            F.broadcast(self.host_rules.withColumnRenamed("host", "chost")),
+            "chost",
+            "left",
+        ).withColumn("path", _path_expr(F.col("curl")))
+        dmatch = F.filter(
+            F.col("disallow_prefixes"),
+            lambda p: (p != "") & F.col("path").startswith(p),
+        )
+        amatch = F.filter(
+            F.coalesce(F.col("allow_prefixes"), F.array().cast("array<string>")),
+            lambda p: (p != "") & F.col("path").startswith(p),
+        )
+        dl = F.array_max(F.transform(dmatch, F.length))
+        al = F.coalesce(F.array_max(F.transform(amatch, F.length)), F.lit(-1))
+        cand = cand.filter(
+            F.col("disallow_prefixes").isNull() | dl.isNull() | (al >= dl)
+        ).drop("disallow_prefixes", "allow_prefixes", "path")
         # in-batch dedup, first occurrence wins (F6/U3)
         wb = Window.partitionBy("curl").orderBy("parent_seq", "pos")
         cand = cand.withColumn("brn", F.row_number().over(wb)).filter(F.col("brn") == 1)
-        # seen-set anti join (F5/J2) — the workhorse dedup join
-        admitted = cand.join(
-            self.seen.withColumnRenamed("url", "curl"), "curl", "left_anti"
-        ).select("parent_url", "parent_seq", "pos", F.col("curl").alias("url"),
-                 F.col("chost").alias("host"))
+        # seen-set anti join (F5/J2) — the workhorse dedup join. With the
+        # Bloom sidecar on: definitely-unseen candidates check only the
+        # small since-build seen delta; possible members confirm against
+        # the full seen set — identical results, the bulk candidate set
+        # never shuffles against the full seen table.
+        seen_c = self.seen.withColumnRenamed("url", "curl")
+        if self._sidecar is not None:
+            tagged = cand.withColumn(
+                "_maybe", self._sidecar.might_contain(F.xxhash64(F.col("curl")))
+            ).persist()
+            self._live_caches.append(tagged)
+            fresh = tagged.filter(~F.col("_maybe")).drop("_maybe").join(
+                self._seen_new.withColumnRenamed("url", "curl"), "curl", "left_anti"
+            )
+            confirmed = tagged.filter(F.col("_maybe")).drop("_maybe").join(
+                seen_c, "curl", "left_anti"
+            )
+            unseen = fresh.unionByName(confirmed)
+        else:
+            unseen = cand.join(seen_c, "curl", "left_anti")
+        admitted = unseen.select(
+            "parent_url", "parent_seq", "pos", F.col("curl").alias("url"),
+            F.col("chost").alias("host"))
 
         # dense, order-preserving sequence assignment (distributed two-phase)
         with self._t('assign_seq'):
@@ -565,7 +652,7 @@ class CrawlEngine:
         self._append("page_admissions", new_frontier.select("seq", "url", "host", "ip"))
 
         new_cm = originals.select(
-            F.col("text_norm").alias("text"), "url", F.col("seq").alias("vseq")
+            "fp", F.col("text_norm").alias("text"), "url", F.col("seq").alias("vseq")
         )
         self._append("content_map", new_cm)
         self.content_map = self.content_map.unionByName(new_cm)
@@ -580,6 +667,8 @@ class CrawlEngine:
         seen_delta = new_seen.join(self.seen, "url", "left_anti").persist()
         self._append("seen", seen_delta)
         self.seen = self.seen.unionByName(seen_delta.select("url"))
+        if self._sidecar is not None:
+            self._seen_new = self._seen_new.unionByName(seen_delta.select("url"))
 
         picked_urls = picks.select("url")
         self.frontier = (
@@ -608,6 +697,13 @@ class CrawlEngine:
         self.content_map = self._ckpt(self.content_map.coalesce(sp), "content_map")
         self.host_state = self._ckpt(self.host_state.coalesce(sp), "host_state")
         self._state_dirty = False
+        if self.cfg.use_bloom_prefilter:
+            from webcrawler_spark.functions.bloom import build_bloom
+
+            if self._sidecar is not None:
+                self._sidecar.destroy()
+            self._sidecar = build_bloom(self.seen, "url", fpp=0.01)
+            self._seen_new = self.spark.createDataFrame([], "url string")
 
     # ------------------------------------------------------------------
     def _resolve_redirects(self) -> DataFrame:

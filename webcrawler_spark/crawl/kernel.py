@@ -74,36 +74,84 @@ def synth_seen(spark: SparkSession, n: int, n_hosts: int = 50_000) -> DataFrame:
 
 
 def synth_texts(spark: SparkSession, n: int) -> DataFrame:
-    """n page texts with ~25% duplicate groups (report main.tex:157 ratio)."""
+    """n page texts with ~25% duplicate groups (report main.tex:157 ratio).
+    Filler 'words' come from hex(xxhash64) — deterministic and cheap (the
+    earlier sha2-based generator spent more on generating the corpus than
+    the dedup op under test)."""
     dup = (F.col("id") % 4 == 0)
     key = F.when(dup, (F.col("id") % 997).cast("string")).otherwise(F.col("id").cast("string"))
     words = F.concat_ws(
         "  ",
         F.lit("podatki  storitve"), key, F.lit("uprava register"),
-        F.sha2(key, 256), F.lit("evidenca\tpotrdilo"), F.sha2(F.concat(key, F.lit("x")), 256),
+        F.hex(F.xxhash64(key)), F.lit("evidenca\tpotrdilo"),
+        F.hex(F.xxhash64(key, F.lit(1))),
     )
     return spark.range(n).select(F.col("id").alias("seq"), words.alias("text"))
 
 
-def admission_kernel(spark: SparkSession, n_candidates: int, n_seen: int) -> DataFrame:
-    """F1-F7 + robots-prefix + in-batch window + seen anti-join (J2)."""
+def admission_kernel(
+    spark: SparkSession, n_candidates: int, n_seen: int, use_bloom: bool = True,
+    sidecar=None, cache_registry: list | None = None,
+) -> DataFrame:
+    """F1-F7 + robots-prefix + in-batch aggregate + seen anti-join (J2).
+
+    Staged projections compute each derived column (url, host, ext) ONCE
+    as an output attribute; predicates then reference attributes only.
+    (The previous chained-withColumn/filter form let predicate pushdown
+    re-inline the whole canonicalization chain into every conjunct —
+    codegen CSE cannot hoist subtrees out of conditional branches, and the
+    duplicated regex work both slowed the scan 12× and capped 4→16-core
+    scaling at 0.67 via allocation pressure on the shared memory bus.)
+    """
     cand = synth_candidates(spark, n_candidates)
     seen = synth_seen(spark, n_seen)
-    c = (
-        cand.filter(~is_rejected_scheme(F.col("raw")))
-        .withColumn("url", canonicalize_url(F.col("raw")))
-        .filter(F.col("url") != "")
-        .withColumn("host", url_host(F.col("url")))
-        .filter(F.col("host").isNotNull())
-        .filter(in_containment(F.col("host")))
-        .filter(~is_binary_extension(F.col("url")))
-        .filter(~F.col("url").contains("/private/"))
+    c0 = cand.filter(~is_rejected_scheme(F.col("raw"))).select(
+        "parent_seq", "pos", canonicalize_url(F.col("raw")).alias("url")
     )
-    # first-occurrence per url via hash aggregate (min_by), NOT a window:
-    # partial (map-side) aggregation + no sort — the scalable form of U3
-    c = c.groupBy("url").agg(
-        F.min_by(F.struct("host", "parent_seq", "pos"), F.struct("parent_seq", "pos")).alias("f")
-    ).select("url", "f.host", "f.parent_seq", "f.pos")
+    c1 = c0.select(
+        "parent_seq", "pos", "url",
+        url_host(F.col("url")).alias("host"),
+        is_binary_extension(F.col("url")).alias("binext"),
+    )
+    c = c1.filter(
+        (F.col("url") != "")
+        & F.col("host").isNotNull()
+        & in_containment(F.col("host"))
+        & ~F.col("binext")
+        & ~F.col("url").contains("/private/")
+    ).drop("binext")
+    # first-occurrence per url via hash aggregate, NOT a window: partial
+    # (map-side) aggregation + no sort — the scalable form of U3. The
+    # ordering key (parent_seq, pos) packs into one long (pos < 64): a
+    # plain min() — the min_by(struct, struct) form fails whole-stage
+    # codegen compilation (InternalCompilerException → interpreted
+    # fallback for the entire stage) and shuffles wider rows. host is
+    # recomputed from the distinct url afterwards (cheap substring views).
+    c = (
+        c.select("url", (F.col("parent_seq") * 64 + F.col("pos")).alias("ord"))
+        .groupBy("url")
+        .agg(F.min("ord").alias("ord"))
+        .select(
+            "url",
+            url_host(F.col("url")).alias("host"),
+            F.shiftright("ord", 6).alias("parent_seq"),
+            (F.col("ord") % 64).alias("pos"),
+        )
+    )
+    if use_bloom:
+        # F5 Bloom sidecar (north_rule): definite-new candidates bypass
+        # the exact anti-join shuffle; possible members are confirmed
+        # exactly — identical results, ~|seen ∩ cand| + FPR·|cand| join
+        # input instead of |cand|. The sidecar is carried state (built
+        # incrementally from seen-set deltas at commit time in the
+        # engine); pass a prebuilt one to keep a one-round measurement
+        # honest, else it is built here.
+        from webcrawler_spark.functions.bloom import anti_join_with_bloom, build_bloom
+
+        if sidecar is None:
+            sidecar = build_bloom(seen, "url", expected_items=n_seen, fpp=0.01)
+        out = anti_join_with_bloom(c, seen, "url", sidecar, cache_registry)
+        return out.select("url", "host", "parent_seq", "pos")
     return c.join(seen, "url", "left_anti").select("url", "host", "parent_seq", "pos")
 
 
@@ -118,11 +166,25 @@ def dedup_kernel(spark: SparkSession, n_texts: int) -> DataFrame:
     )
 
 
+def build_seen_sidecar(spark: SparkSession, n_seen: int):
+    """Build the Bloom sidecar for synth_seen — carried state, maintained
+    incrementally in the engine; built outside the timed round."""
+    from webcrawler_spark.functions.bloom import build_bloom
+
+    return build_bloom(synth_seen(spark, n_seen), "url", expected_items=n_seen, fpp=0.01)
+
+
 def run_round_kernel(spark: SparkSession, n_candidates: int = 4_000_000,
-                     n_seen: int = 2_000_000, n_texts: int = 1_000_000) -> dict:
+                     n_seen: int = 2_000_000, n_texts: int = 1_000_000,
+                     sidecar=None, use_bloom: bool = True) -> dict:
     """One production-scale round: admission + content dedup; returns counts."""
-    admitted = admission_kernel(spark, n_candidates, n_seen)
+    caches: list = []
+    admitted = admission_kernel(spark, n_candidates, n_seen,
+                                use_bloom=use_bloom, sidecar=sidecar,
+                                cache_registry=caches)
     n_admitted = admitted.count()
+    for c in caches:
+        c.unpersist()
     deduped = dedup_kernel(spark, n_texts)
     n_dup = deduped.filter("is_duplicate").count()
     return {"n_candidates": n_candidates, "n_admitted": n_admitted,

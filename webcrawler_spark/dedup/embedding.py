@@ -16,6 +16,8 @@ for per-pair use in other modules.
 
 from __future__ import annotations
 
+import random
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -108,3 +110,117 @@ def near_duplicate_pairs(
         .applyInPandas(block_pairs, schema="a long, b long, cos double")
         .orderBy("a", "b")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed near-dup — the 100-TB scale path (no all-pairs anywhere)
+# ---------------------------------------------------------------------------
+
+LSH_PLANES = 8
+_LSH_SEED = 43
+
+
+def _sign_planes(dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes (Charikar sign-random-projection with
+    Rademacher vectors, public technique) — shared verbatim with the
+    DuckDB oracle generator below."""
+    rng = random.Random(_LSH_SEED)
+    return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(LSH_PLANES)]
+
+
+def lsh_near_duplicate_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+) -> DataFrame:
+    """(a, b, cos ≥ threshold), a < b, restricted to pairs whose sign
+    signatures are within Hamming distance 1 — the LSH-defined near-dup
+    metric that replaces `near_duplicate_pairs`'s blocked all-pairs at
+    scale: the bucket join shuffles only equal signature keys, the exact
+    cosine runs on candidates only.
+
+    Portability: signature bits come from INTEGER dot products — the
+    embedding is quantized to round(x·1000) and the planes are ±1 — so
+    bit values are exact and identical in any engine regardless of
+    floating summation order (a float dot's sign near 0 is not portable).
+    """
+    planes = _sign_planes(dim)
+    target = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < target:
+        # single-file parquet arrives as 1 partition; the signature lambdas
+        # are interpreted (no codegen for higher-order fns) — spread first
+        embeddings = embeddings.repartition(target)
+    qv = F.transform(F.col(vec_col), lambda x: F.round(x.cast("double") * 1000).cast("long"))
+    v = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        qv.alias("qv"),
+    )
+    sig = None
+    for i, p in enumerate(planes):
+        lit = F.array(*[F.lit(x) for x in p])
+        d = F.aggregate(F.zip_with("qv", lit, lambda a, b: a * b), F.lit(0).cast("long"),
+                        lambda acc, x: acc + x)
+        bit = F.when(d > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << i)
+        sig = bit if sig is None else sig + bit
+    v = v.select("id", "v", sig.alias("sig"))
+    # multiprobe: each row lands in its own bucket + all Hamming-1 buckets;
+    # pairs sharing any probe bucket are candidates (≤ Hamming-1 apart)
+    probes = F.array(*([F.col("sig")] + [
+        F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(LSH_PLANES)
+    ]))
+    banded = v.select("id", "v", "sig", F.explode(probes).alias("bucket"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+        .orderBy("a", "b")
+    )
+
+
+def lsh_near_duplicate_oracle_sql(
+    threshold: float, table: str = "embeddings",
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> str:
+    """DuckDB mirror of `lsh_near_duplicate_pairs` — same planes, same
+    integer signature arithmetic, same Hamming-1 probing."""
+    planes = _sign_planes(dim)
+    sig_terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ",".join(str(x) for x in p) + "]"
+        dot = (f"list_sum(list_transform(range(1, {dim} + 1), "
+               f"j -> qv[j] * ({arr})[j]))")
+        sig_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    sig = " + ".join(sig_terms)
+    probes = ", ".join(["sig"] + [f"xor(sig, {1 << i})" for i in range(LSH_PLANES)])
+    return f"""
+        WITH v AS (
+            SELECT {id_col}::BIGINT AS id,
+                   list_transform({vec_col}, x -> x::DOUBLE) AS v,
+                   list_transform({vec_col}, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+            FROM {table}
+        ), s AS (
+            SELECT id, v, {sig} AS sig FROM v
+        ), banded AS (
+            SELECT id, v, unnest([{probes}]) AS bucket FROM s
+        ), cand AS (
+            SELECT DISTINCT l.id AS a, r.id AS b
+            FROM banded l JOIN banded r ON l.bucket = r.bucket AND l.id < r.id
+        ), scored AS (
+            SELECT c.a, c.b,
+                   round(list_dot_product(x.v, y.v) /
+                         (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+                   6) AS cos
+            FROM cand c JOIN s x ON x.id = c.a JOIN s y ON y.id = c.b
+        )
+        SELECT a, b, cos FROM scored WHERE cos >= {threshold} ORDER BY a, b
+    """

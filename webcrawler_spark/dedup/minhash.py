@@ -45,10 +45,38 @@ def _shingle_ids(text_col):
     return F.array_distinct(F.transform(sh, lambda s: portable_hash64(s) % M))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Single-file parquet reads arrive as 1 partition; the shingle/minhash
+    lambdas are interpreted (higher-order functions skip codegen), so
+    spread small inputs across cores first. No-op at scale, where the scan
+    already has ≥ parallelism partitions."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def shingle_id_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, sh) — distinct 3-gram shingle ids, computed in staged
+    projections so each HOF lambda binds a materialized column attribute
+    (inlining `tokens(text)` into the ngrams lambda makes the interpreted
+    evaluator re-tokenize per element — O(n²) per doc)."""
+    return (
+        _spread(docs)
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tok"))
+        .select("doc_id", ngrams(F.col("tok"), 3).alias("grams"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform("grams", lambda s: portable_hash64(s) % M)
+            ).alias("sh"),
+        )
+    )
+
+
 def signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """doc_id + minhash signature columns mh0..mh{k-1} (docs with <1 shingle dropped)."""
-    ids = _shingle_ids(F.col(text_col))
-    d = docs.select(F.col(id_col).alias("doc_id"), ids.alias("sh")).filter(F.size("sh") > 0)
+    d = shingle_id_sets(docs, id_col, text_col).filter(F.size("sh") > 0)
     cols = [
         F.array_min(F.transform(F.col("sh"), lambda x: (F.lit(A[i]) * x + F.lit(B[i])) % P)).alias(f"mh{i}")
         for i in range(NUM_PERM)
@@ -56,15 +84,24 @@ def signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     return d.select("doc_id", *cols)
 
 
-def candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct (a, b), a < b, sharing ≥1 LSH band bucket."""
+def candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Distinct (a, b), a < b, sharing ≥1 LSH band bucket.
+
+    ``bands × rows_per_band`` must equal NUM_PERM; narrower bands (more
+    of them) raise recall at lower similarity — (8, 2) catches j ≥ 0.9
+    pairs with probability ≈ 1 − (1 − 0.81)^8 ≈ 1.
+    """
+    assert bands * rows_per_band == NUM_PERM
     sig = signatures(docs, id_col, text_col)
     band_structs = [
         F.struct(
             F.lit(bi).alias("band"),
-            F.concat_ws("_", *[F.col(f"mh{bi * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]).alias("key"),
+            F.concat_ws("_", *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
         )
-        for bi in range(BANDS)
+        for bi in range(bands)
     ]
     banded = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
@@ -80,11 +117,20 @@ def candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 
 def near_duplicates(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.8
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.8,
+    bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
-    """LSH candidates verified by exact 3-gram Jaccard ≥ threshold."""
-    pairs = candidate_pairs(docs, id_col, text_col)
-    sh = docs.select(F.col(id_col).alias("doc_id"), _shingle_ids(F.col(text_col)).alias("sh"))
+    """LSH candidates verified by exact 3-gram Jaccard ≥ threshold.
+
+    This is the 100-TB shape for n-gram near-dup detection: the band join
+    shuffles only equal band keys (similar docs), the exact verify touches
+    candidates only — no quadratic shared-shingle blow-up. The exact
+    companion (`dedup.ngram.jaccard_pairs`) remains for small corpora and
+    for recall audits.
+    """
+    pairs = candidate_pairs(docs, id_col, text_col, bands, rows_per_band)
+    sh = shingle_id_sets(docs, id_col, text_col)
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
         .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
@@ -108,6 +154,50 @@ def _duck_shingles(text_col: str) -> str:
     )
     h = PORTABLE_HASH64_DUCKDB.format(col="g")
     return f"list_distinct(list_transform({grams}, g -> {h} % {M}))"
+
+
+def near_duplicates_oracle_sql(
+    threshold: float,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> str:
+    """DuckDB mirror of `near_duplicates`: same signatures, same band
+    keys, same exact-Jaccard verify — the LSH-defined metric is fully
+    deterministic so the oracle reproduces it value-for-value."""
+    assert bands * rows_per_band == NUM_PERM
+    sig = minhash_signature_sql(table, id_col, text_col)
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS key FROM sig".format(
+            b=bi,
+            cols=", ".join(f"mh{bi * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for bi in range(bands)
+    )
+    sh = _duck_shingles(text_col)
+    return f"""
+        WITH sig AS ({sig}),
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ),
+        shs AS (SELECT {id_col} AS doc_id, {sh} AS sh FROM {table}),
+        j AS (
+            SELECT c.a, c.b,
+                   round(
+                       len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+                       (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+                   6) AS jaccard
+            FROM cand c
+            JOIN shs sa ON sa.doc_id = c.a
+            JOIN shs sb ON sb.doc_id = c.b
+        )
+        SELECT a, b, jaccard FROM j WHERE jaccard >= {threshold} ORDER BY a, b
+    """
 
 
 def minhash_signature_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:

@@ -61,6 +61,7 @@ def parse_robots_py(body: str | None, user_agent: str = "*") -> RobotsRules:
         return r
     applies = False
     seen_any_group = False
+    in_ua_run = False
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -68,8 +69,16 @@ def parse_robots_py(body: str | None, user_agent: str = "*") -> RobotsRules:
         key, _, val = line.partition(":")
         key = key.strip().lower()
         val = val.strip()
+        if key != "user-agent":
+            in_ua_run = False
         if key == "user-agent":
-            applies = val == "*" or val.lower() == user_agent.lower()
+            # consecutive User-agent lines form ONE group (standard REP):
+            # the group applies if ANY of its agents match; the run resets
+            # at the first rule line after it
+            if not in_ua_run:
+                applies = False
+                in_ua_run = True
+            applies = applies or val == "*" or val.lower() == user_agent.lower()
             seen_any_group = True
         elif key == "sitemap":
             r.sitemaps.append(val)

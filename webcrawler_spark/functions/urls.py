@@ -39,13 +39,31 @@ BINARY_EXTENSIONS = (
 DEFAULT_SEED_DOMAINS = ("gov.si",)
 
 
+# ---------------------------------------------------------------------------
+# Allocation discipline (the 100-TB lesson of the round kernel): this file
+# is the admission hot path — every row of a 10^10-URL frontier flows
+# through these expressions, and the *allocation volume per row*, not the
+# op count, sets the multicore scaling ceiling (the memory bus is shared;
+# profile: regex-based host extraction + unconditional regexp_replace made
+# the kernel 12-16× slower AND capped 4→16-core scaling at 0.67). Rules:
+#   * substring_index / substring / trim — zero-copy UTF8String views
+#   * regexp_replace only behind a contains() guard (most URLs have no
+#     '.html' to delete), rlike for match-only tests (no result string)
+#   * no CASE WHEN wrapping of expensive subtrees that predicates will
+#     duplicate (codegen CSE cannot hoist out of conditional branches)
+# ---------------------------------------------------------------------------
+
+_SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
 def is_rejected_scheme(url: Column) -> Column:
-    """F1: drop javascript:/tel:/mailto:/empty (CrawlerUrl.java:19-24)."""
-    lowered = F.lower(F.trim(url))
-    cond = (url.isNull()) | (F.trim(url) == "")
-    for s in REJECTED_SCHEMES:
-        cond = cond | lowered.startswith(s)
-    return cond
+    """F1: drop javascript:/tel:/mailto:/empty (CrawlerUrl.java:19-24).
+    One case-insensitive anchored rlike — match-only, allocation-free."""
+    return (
+        url.isNull()
+        | (F.trim(url) == "")
+        | F.trim(url).rlike("^(?i)(javascript|tel|mailto):")
+    )
 
 
 def canonicalize_url(url: Column) -> Column:
@@ -53,37 +71,32 @@ def canonicalize_url(url: Column) -> Column:
 
     The final trim is a no-op for well-formed URLs (the reference rejects
     whitespace-bearing URLs at URI construction, CrawlerUrl.java:44-51);
-    it keeps the function idempotent on degenerate inputs.
+    it keeps the function idempotent on degenerate inputs. The '.html'
+    delete runs behind a contains() guard — identical result, but the
+    common no-'.html' row allocates nothing.
     """
-    c = F.trim(url)
-    c = F.substring_index(c, "#", 1)           # keep before fragment
-    c = F.regexp_replace(c, r"\.html", "")     # delete every literal .html
-    c = F.substring_index(c, "?", 1)           # strip query
+    c = F.substring_index(F.trim(url), "#", 1)       # keep before fragment
+    c = F.when(c.contains(".html"), F.regexp_replace(c, r"\.html", "")).otherwise(c)
+    c = F.substring_index(c, "?", 1)                 # strip query
     return F.trim(c)
 
 
-# One regex, shared verbatim (via the (?i) flag) with the Python twin
-# below. NOT java.net.URI / parse_url: URI construction allocates heavily
-# per row (it was the dominant cost AND the scaling ceiling of the
-# admission kernel — GC-bound), and a regex keeps the Spark side and the
-# simulator twin bit-identical. Invalid URLs → NULL host → dropped by F3,
-# matching the reference's URISyntaxException catch (CrawlerUrl.java:33-38).
-_HOST_PATTERN = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([A-Za-z0-9.-]+)"
-
-
 def url_host(url: Column) -> Column:
-    """Host of a URL, lowercased, leading 'www.' stripped (Utils.java:8-19)."""
-    h = F.lower(F.regexp_extract(F.trim(url), _HOST_PATTERN, 1))
-    h = F.when(h == "", F.lit(None).cast("string")).otherwise(h)
-    return F.regexp_replace(h, r"^www\.", "")
+    """Host of a URL, lowercased, leading 'www.' stripped (Utils.java:8-19).
 
-
-def _url_rest(url: Column) -> Column:
-    """Everything after scheme://[userinfo@]host (the whole string when the
-    URL has no scheme — mirroring the Python twin's fallback)."""
-    return F.regexp_replace(
-        F.trim(url), r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?[A-Za-z0-9.-]+", ""
-    )
+    NULL when the URL has no valid ``scheme://`` prefix — the reference's
+    URISyntaxException catch (CrawlerUrl.java:33-38). The scheme check is
+    a match-only rlike; the host itself comes from substring views
+    (after first '://' → before '/' → after '@' → before ':' port), which
+    the Python twin mirrors operation-for-operation.
+    """
+    t = F.trim(url)
+    # after the FIRST '://' (substring_index(-1) would take the last)
+    rest = F.substring(t, F.instr(t, "://") + 3, F.lit(2_000_000_000))
+    hostport = F.substring_index(F.substring_index(rest, "/", 1), "@", -1)
+    h = F.lower(F.substring_index(hostport, ":", 1))
+    h = F.when(h.startswith("www."), F.substring(h, 5, 2_000_000_000)).otherwise(h)
+    return F.when(t.rlike(_SCHEME_RE) & (h != ""), h)
 
 
 def in_containment(host: Column, seed_domains: tuple[str, ...] = DEFAULT_SEED_DOMAINS) -> Column:
@@ -95,12 +108,18 @@ def in_containment(host: Column, seed_domains: tuple[str, ...] = DEFAULT_SEED_DO
 
 
 def url_extension(url: Column) -> Column:
-    """Last '.'-separated component of the path, lowercased; empty if no dot."""
-    path = F.substring_index(F.substring_index(_url_rest(url), "?", 1), "#", 1)
-    last_seg = F.element_at(F.split(path, "/"), -1)
-    return F.when(
-        last_seg.contains("."), F.lower(F.element_at(F.split(last_seg, r"\."), -1))
-    ).otherwise(F.lit(""))
+    """Last '.'-separated component of the path, lowercased; empty if no
+    dot in the last path segment and for host-only URLs (no '/' after the
+    scheme — the host's own dots never produce an extension)."""
+    t = F.trim(url)
+    scheme_pos = F.instr(t, "://")
+    # after the first '://'; scheme-less URLs keep the whole string (the
+    # relative-href form the admission predicate also sees)
+    rest = F.when(scheme_pos > 0, F.substring(t, scheme_pos + 3, F.lit(2_000_000_000))).otherwise(t)
+    path = F.substring_index(F.substring_index(rest, "?", 1), "#", 1)
+    last_seg = F.substring_index(path, "/", -1)
+    has_ext = (path.contains("/") | (scheme_pos == 0)) & last_seg.contains(".")
+    return F.when(has_ext, F.lower(F.substring_index(last_seg, ".", -1))).otherwise(F.lit(""))
 
 
 def is_binary_extension(url: Column) -> Column:
@@ -136,15 +155,19 @@ def canonicalize_url_py(url: str) -> str:
     return c.strip()
 
 
-_HOST_RE = re.compile(r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([a-z0-9.-]+)", re.IGNORECASE)
+_SCHEME_RE_PY = re.compile(_SCHEME_RE)
 
 
 def url_host_py(url: str) -> str | None:
-    m = _HOST_RE.match(url.strip())
-    if not m:
+    t = url.strip()
+    if not _SCHEME_RE_PY.match(t):
         return None
-    h = m.group(1).lower()
-    return h[4:] if h.startswith("www.") else h
+    rest = t[t.index("://") + 3:]
+    hostport = rest.split("/", 1)[0].rsplit("@", 1)[-1]
+    h = hostport.split(":", 1)[0].lower()
+    if h.startswith("www."):
+        h = h[4:]
+    return h or None
 
 
 def in_containment_py(host: str | None, seed_domains=DEFAULT_SEED_DOMAINS) -> bool:
@@ -154,11 +177,14 @@ def in_containment_py(host: str | None, seed_domains=DEFAULT_SEED_DOMAINS) -> bo
 
 
 def url_extension_py(url: str) -> str:
-    m = _HOST_RE.match(url.strip())
-    rest = url.strip()[m.end():] if m else url.strip()
+    t = url.strip()
+    i = t.find("://")
+    rest = t[i + 3:] if i >= 0 else t
     path = rest.split("?", 1)[0].split("#", 1)[0]
     last = path.split("/")[-1]
-    return last.rsplit(".", 1)[-1].lower() if "." in last else ""
+    if ("/" in path or i < 0) and "." in last:
+        return last.rsplit(".", 1)[-1].lower()
+    return ""
 
 
 def is_binary_extension_py(url: str) -> bool:

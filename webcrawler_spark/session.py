@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # high-cardinality string-keyed joins (the J2 seen anti-join, J5
+        # content joins) are 3× faster as shuffled-hash than sort-merge —
+        # no sort of millions of URL strings; AQE still handles skew/spill
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # image rows can be multi-MB: keep Arrow batches small so a batch of
         # binary payloads fits comfortably in a python worker

@@ -80,11 +80,16 @@ def make_robots(hosts: list[dict], seed: int = SEED) -> pd.DataFrame:
         disallow = ["/private"] if rng.random() < 0.5 else []
         if rng.random() < 0.2:
             disallow.append("/admin")
+        # Allow carve-outs under a Disallow prefix — exercises the
+        # longest-match Allow/Disallow rule end to end (F9): /private is
+        # blocked but /private/open is crawlable
+        allow = ["/private/open"] if disallow and rng.random() < 0.6 else []
         if is_html:
             body = "<html><body><h1>404 robots</h1></body></html>"
         else:
             lines = ["User-agent: *"]
             lines += [f"Disallow: {p}" for p in disallow]
+            lines += [f"Allow: {p}" for p in allow]
             if delay:
                 lines.append(f"Crawl-delay: {delay}")
             lines.append(f"Sitemap: http://{h['host']}/sitemap.xml")
@@ -95,6 +100,7 @@ def make_robots(hosts: list[dict], seed: int = SEED) -> pd.DataFrame:
             # structured truth, used by the simulator oracle; the engine
             # parsing `body` and matching the simulator proves the parser
             "disallow_prefixes": disallow,
+            "allow_prefixes": allow,
             "crawl_delay_s": delay,
             "sitemaps": [f"http://{h['host']}/sitemap.xml"],
             "is_html_page": bool(is_html),
@@ -157,6 +163,12 @@ def make_webgraph(
             elif r < binary_frac + 0.08 and j > 0:
                 url = f"http://{h['host']}/private/p{j}"
                 kind = "disallowed"
+            elif r < binary_frac + 0.11 and j > 0:
+                # under the /private Disallow but inside the /private/open
+                # Allow carve-out — crawlable iff the host's robots carries
+                # the Allow line (longest-match F9)
+                url = f"http://{h['host']}/private/open/p{j}"
+                kind = "html"
             else:
                 url = f"http://{h['host']}/p{j}"
                 kind = "html"

@@ -65,17 +65,19 @@ class SimResult:
 
 
 def _robots_maps(robots: pd.DataFrame):
-    """host → (disallow_prefixes, delay_ms). HTML-page robots are rejected
-    (WebCrawler.java:108-112) ⇒ treated as absent; crawl-delay 0 falls back
-    to the default (:178-179)."""
-    dis, delay = {}, {}
+    """host → ((disallow_prefixes, allow_prefixes), delay_ms). HTML-page
+    robots are rejected (WebCrawler.java:108-112) ⇒ treated as absent;
+    crawl-delay 0 falls back to the default (:178-179)."""
+    rules, delay = {}, {}
+    has_allow = "allow_prefixes" in robots.columns
     for _, r in robots.iterrows():
         if bool(r.get("is_html_page", False)):
             continue
-        dis[r["host"]] = list(r["disallow_prefixes"] or [])
+        allow = list(r["allow_prefixes"] or []) if has_allow else []
+        rules[r["host"]] = (list(r["disallow_prefixes"] or []), allow)
         d = r.get("crawl_delay_s")
         delay[r["host"]] = int(d) * 1000 if d and int(d) > 0 else TICK_MS
-    return dis, delay
+    return rules, delay
 
 
 def _path_of(url: str) -> str:
@@ -96,7 +98,7 @@ def simulate(
     host_ip = {}
     for r in webgraph.itertuples():
         host_ip.setdefault(r.host, r.ip)
-    disallow, delay_ms = _robots_maps(robots)
+    host_rules, delay_ms = _robots_maps(robots)
 
     res = SimResult()
     frontier: list[tuple[int, str]] = []  # (seq, url), insertion-ordered
@@ -109,11 +111,19 @@ def simulate(
         return host_ip.get(host, "0.0.0.0")
 
     def robots_allows(host: str | None, url: str) -> bool:
-        prefixes = disallow.get(host)
-        if not prefixes:
-            return True
+        # longest-match Allow/Disallow, allow wins ties (F9); written
+        # independently of RobotsRules.allows so engine↔simulator parity
+        # genuinely cross-checks the Catalyst expression
+        rules = host_rules.get(host)
+        if rules is None or not rules[0]:
+            return True  # no robots / no Disallow ⇒ allowed
+        disallow_p, allow_p = rules
         path = _path_of(url)
-        return not any(path.startswith(p) for p in prefixes)
+        dl = max((len(p) for p in disallow_p if p and path.startswith(p)), default=None)
+        if dl is None:
+            return True
+        al = max((len(p) for p in allow_p if p and path.startswith(p)), default=-1)
+        return al >= dl
 
     for s in seeds:
         c = canonicalize_url_py(s)
