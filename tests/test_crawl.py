@@ -143,3 +143,17 @@ def test_resume_equivalence(spark, fixture_graph, sim, tmp_path_factory):
     assert epages == spages
     eseen = {r["url"] for r in e2.seen_df().collect()}
     assert eseen == sim.seen
+    # a resumed run must also reproduce the simulator's TRACE — (tick, url)
+    # set and per-host pick order. This is what catches a resume-derived
+    # frontier dropping admitted-but-unpicked URLs (they would be missing
+    # picks here even when pages/seen still converge).
+    etrace = [(r["time_ms"], r["url"], r["host"]) for r in e2.trace_df().collect()]
+    assert {(t, u) for (t, u, h) in etrace} == {(t, u) for (t, s, u, h) in sim.trace}
+    from collections import defaultdict
+
+    eo, so = defaultdict(list), defaultdict(list)
+    for t, u, h in sorted(etrace):
+        eo[h].append(u)
+    for t, s, u, h in sim.trace:
+        so[h].append(u)
+    assert eo == so

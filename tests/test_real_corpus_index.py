@@ -87,3 +87,39 @@ def test_positions_are_dense_filtered_indices(postings):
         )
     )
     assert check.count() == 0
+
+
+def test_search_benchmark_queries(postings, spark):
+    """§3.3 search over the real corpus — the report's own benchmark
+    queries (implementation-indexing/report/main.tex:105-118) return
+    ranked results; 'podatki' ranks a podatki.gov.si page first."""
+    from webcrawler_spark.index.search import search
+
+    for q in ["predelovalne dejavnosti", "trgovina", "social services",
+              "robot", "davčna olajšava", "podatki"]:
+        res = search(spark, postings, q).limit(5).collect()
+        assert len(res) > 0, q
+        scores = [r["score"] for r in res]
+        assert scores == sorted(scores, reverse=True), q
+    top = search(spark, postings, "podatki").limit(1).collect()[0]
+    assert top["doc"].startswith("podatki.gov.si/")
+
+
+def test_search_snippets_real_corpus(postings, spark):
+    """W3 snippets over the real corpus: every snippet window of a
+    single-term query contains the term (positions index the filtered
+    token stream, so the hit itself is inside each ±3 window)."""
+    from webcrawler_spark.functions.stopwords_sl import STOPWORDS_SL_FULL
+    from webcrawler_spark.functions.text import tokens_unicode
+    from webcrawler_spark.index import real_corpus as RC
+    from webcrawler_spark.index.search import search, snippets
+
+    corpus = RC.read_index_corpus(spark)
+    hits = search(spark, postings, "slovenije").limit(3)
+    snips = snippets(
+        corpus, hits, doc_col="doc", text_col="text",
+        stopwords=tuple(sorted(STOPWORDS_SL_FULL)), tokenizer=tokens_unicode,
+    ).collect()
+    assert len(snips) == 3
+    for r in snips:
+        assert "slovenije" in r["snippet"]

@@ -133,3 +133,30 @@ def test_snippets_window(spark):
     out = snippets(docs, hits, stopwords=()).collect()
     assert len(out) == 1
     assert out[0]["snippet"] == "w1 w2 w3 target w5 w6"
+
+
+def test_index_sink_roundtrip(spark, sf_dir, tmp_path):
+    """S9: postings persisted as word-bucketed parquet round-trip exactly,
+    and a term lookup prunes to its bucket."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.index.build import build_postings, read_index, write_index
+    from webcrawler_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    p = build_postings(d)
+    root = str(tmp_path / "idx")
+    write_index(p, root, buckets=8)
+    back = read_index(spark, root)
+    a = {(r["doc"], r["word"], r["frequency"], tuple(r["positions"]))
+         for r in p.collect()}
+    b = {(r["doc"], r["word"], r["frequency"], tuple(r["positions"]))
+         for r in back.collect()}
+    assert a == b
+    # term lookup touches one bucket only (partition pruning on the
+    # bucket directory column)
+    one = back.filter(
+        (F.col("bucket") == F.pmod(F.xxhash64(F.lit("table")), F.lit(8)))
+        & (F.col("word") == "table")
+    )
+    assert one.count() > 0

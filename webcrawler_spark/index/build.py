@@ -46,3 +46,27 @@ def build_postings(
 def vocabulary(postings: DataFrame) -> DataFrame:
     """A5: IndexWord — distinct vocabulary."""
     return postings.select("word").distinct()
+
+
+def write_index(postings: DataFrame, path: str, buckets: int = 16) -> None:
+    """S9: persist the inverted index as parquet tables — the batch-write
+    replacement for the reference's row-at-a-time SQLite executemany
+    (processing.py:66-73). ``postings/`` is laid out in hash buckets of
+    ``word`` (directory partition on a stable bucket of the join key) so
+    a term lookup (J7) prunes to one bucket; ``words/`` is the IndexWord
+    table."""
+    from pyspark.sql import functions as F
+
+    (
+        postings.withColumn("bucket", F.pmod(F.xxhash64("word"), F.lit(buckets)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    vocabulary(postings).write.mode("overwrite").parquet(f"{path}/words")
+
+
+def read_index(spark, path: str) -> DataFrame:
+    """Read back the S9 postings table (bucket column retained so term
+    filters prune partitions)."""
+    return spark.read.parquet(f"{path}/postings")

@@ -41,10 +41,13 @@ def snippets(
     doc_col: str = "doc_id",
     text_col: str = "text",
     stopwords: tuple[str, ...] = STOPWORDS_EN,
+    tokenizer=tokens,
 ) -> DataFrame:
     """W3: ±3-token context per hit position — exclusive slice end, so
-    3 before + self + 2 after, joined with ' ... ' (processing.py:123-134)."""
-    tok = remove_stopwords(tokens(F.col(text_col)), stopwords)
+    3 before + self + 2 after, joined with ' ... ' (processing.py:123-134).
+    ``tokenizer``/``stopwords`` must match the postings build so positions
+    index the same filtered token stream."""
+    tok = remove_stopwords(tokenizer(F.col(text_col)), stopwords)
     d = docs.select(F.col(doc_col).alias("doc"), tok.alias("toks"))
     j = hits.join(d, "doc", "inner")
     frag = F.transform(
