@@ -442,7 +442,10 @@ def _q_crawl_pages(spark, sf):
     from webcrawler_spark.crawl.engine import CrawlEngine, CrawlConfig
     from webcrawler_spark.sources.fixtures import SEED_URLS, make_webgraph
 
-    wg, robots = make_webgraph(n_hosts=5, pages_per_host_base=4)
+    # 8 hosts × base 6 × 16 rounds: small enough for the driver's budget,
+    # rich enough that the census carries DUPLICATE rows alongside
+    # HTML/FRONTIER (5×4×40 produced a 2-row census — near-vacuous)
+    wg, robots = make_webgraph(n_hosts=8, pages_per_host_base=6)
     root = tempfile.mkdtemp(prefix="crawl_q_")
     # micro-scale crawl: whole-stage codegen recompiles every sub-step
     # (literal clock changes) and dominates wall time — disable for the
@@ -455,7 +458,7 @@ def _q_crawl_pages(spark, sf):
             spark.createDataFrame(wg),
             spark.createDataFrame(robots),
             list(SEED_URLS),
-            CrawlConfig(store_root=root, max_rounds=40, checkpoint_every=10,
+            CrawlConfig(store_root=root, max_rounds=16, checkpoint_every=8,
                         collect_metrics=False),
         )
         eng.run()

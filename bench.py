@@ -65,7 +65,7 @@ BENCH_QUERIES = [
 
 CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "1200"))
 CRAWL_BASE = int(os.environ.get("SPARK_GRAFT_BENCH_BASE", "12"))
-CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
 # 32M candidates/round: big enough that per-job overhead and Python-worker
 # startup amortize at 16 cores (at 8M the 16-core run is overhead-bound)
 KERNEL_N = int(os.environ.get("SPARK_GRAFT_BENCH_KERNEL_N", "32000000"))
