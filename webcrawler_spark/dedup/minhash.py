@@ -75,8 +75,15 @@ def shingle_id_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 
 def signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """doc_id + minhash signature columns mh0..mh{k-1} (docs with <1 shingle dropped)."""
+    """doc_id + minhash signature columns mh0..mh{k-1} (docs with <1 shingle dropped).
+
+    The repartition between the shingle build and the 16 min-transforms is
+    an exchange BARRIER: without it CollapseProject inlines the md5-based
+    shingle expression into the signature columns (re-hashing per
+    reference); the shuffled payload is just (doc_id, array<long>) — tiny
+    relative to the recompute it prevents (25% measured at sf0.1)."""
     d = shingle_id_sets(docs, id_col, text_col).filter(F.size("sh") > 0)
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
     cols = [
         F.array_min(F.transform(F.col("sh"), lambda x: (F.lit(A[i]) * x + F.lit(B[i])) % P)).alias(f"mh{i}")
         for i in range(NUM_PERM)
