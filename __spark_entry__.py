@@ -346,7 +346,10 @@ def _q_graph_export(spark, sf):
             .orderBy(F.desc("n_edges"), F.asc("label"))
             .limit(25)
         )
-        return out.localCheckpoint(eager=True)  # materialize before rmtree
+        # collect + rebuild (25 rows): a localCheckpoint's blocks are not
+        # reliable once the CSV source is rmtree'd (block loss forces a
+        # recompute against the deleted directory)
+        return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -442,10 +445,11 @@ def _q_crawl_pages(spark, sf):
     from webcrawler_spark.crawl.engine import CrawlEngine, CrawlConfig
     from webcrawler_spark.sources.fixtures import SEED_URLS, make_webgraph
 
-    # 8 hosts × base 6 × 16 rounds: small enough for the driver's budget,
-    # rich enough that the census carries DUPLICATE rows alongside
-    # HTML/FRONTIER (5×4×40 produced a 2-row census — near-vacuous)
-    wg, robots = make_webgraph(n_hosts=8, pages_per_host_base=6)
+    # 10 hosts × base 6 × 16 rounds: small enough for the driver's budget,
+    # rich enough that the census carries all four page types (HTML /
+    # BINARY / DUPLICATE / FRONTIER) plus both page_data code branches
+    # (PDF and the zip → null fall-through)
+    wg, robots = make_webgraph(n_hosts=10, pages_per_host_base=6)
     root = tempfile.mkdtemp(prefix="crawl_q_")
     # micro-scale crawl: whole-stage codegen recompiles every sub-step
     # (literal clock changes) and dominates wall time — disable for the
@@ -462,13 +466,25 @@ def _q_crawl_pages(spark, sf):
                         collect_metrics=False),
         )
         eng.run()
-        out = (
-            eng.pages_df()
-            .groupBy("page_type_code")
-            .agg(F.count("*").cast("long").alias("n_pages"))
-            .orderBy("page_type_code")
+        census = eng.pages_df().groupBy("page_type_code").agg(
+            F.count("*").cast("long").alias("n_pages")
         )
-        return out.localCheckpoint(eager=True)  # materialize before rmtree
+        # fold in the page_data delta (one row per BINARY page, S6/X1):
+        # 'DATA:<code>' rows census the binary payload types alongside the
+        # page types ('DATA:' alone = code fell through the 5-way switch)
+        pd_df = eng.page_data_df()
+        if pd_df is not None:
+            census = census.unionByName(
+                pd_df.groupBy(
+                    F.concat(
+                        F.lit("DATA:"), F.coalesce("data_type_code", F.lit(""))
+                    ).alias("page_type_code")
+                ).agg(F.count("*").cast("long").alias("n_pages"))
+            )
+        out = census.orderBy("page_type_code")
+        # collect + rebuild (census-sized): localCheckpoint blocks are not
+        # reliable once the store root is rmtree'd (see _q_graph_export)
+        return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
         spark.conf.set("spark.sql.codegen.wholeStage", prev_cg)
         shutil.rmtree(root, ignore_errors=True)

@@ -10,14 +10,16 @@ from pyspark.sql import functions as F
 
 from webcrawler_spark.crawl.engine import CrawlConfig, CrawlEngine
 from webcrawler_spark.crawl.kernel import admission_kernel
-from webcrawler_spark.functions.bloom import anti_join_with_bloom, build_bloom
+from webcrawler_spark.functions.bloom import (
+    anti_join_with_bloom,
+    build_bloom,
+    build_sharded_bloom,
+)
 from webcrawler_spark.sources.fixtures import SEED_URLS, make_webgraph
 from webcrawler_spark.sources.simulator import simulate
 
 
-def test_bloom_anti_join_exact_equality(spark):
-    """anti_join_with_bloom == plain LEFT ANTI, row for row (FPR routes
-    rows to the confirm join, never into or out of the result)."""
+def _cand_seen(spark):
     cand = spark.range(20_000).select(
         F.concat(F.lit("http://h"), (F.col("id") % 97).cast("string"),
                  F.lit(".gov.si/p"), F.col("id").cast("string")).alias("url"),
@@ -27,11 +29,41 @@ def test_bloom_anti_join_exact_equality(spark):
         F.concat(F.lit("http://h"), (F.col("id") % 97).cast("string"),
                  F.lit(".gov.si/p"), F.col("id").cast("string")).alias("url")
     )
+    return cand, seen
+
+
+def test_bloom_anti_join_exact_equality(spark):
+    """anti_join_with_bloom == plain LEFT ANTI, row for row (FPR routes
+    rows to the confirm join, never into or out of the result)."""
+    cand, seen = _cand_seen(spark)
     sidecar = build_bloom(seen, "url", fpp=0.05)
     plain = {tuple(r) for r in cand.join(seen, "url", "left_anti").collect()}
     bloomed = {tuple(r) for r in anti_join_with_bloom(cand, seen, "url", sidecar).collect()}
     assert bloomed == plain and len(plain) > 0
     sidecar.destroy()
+
+
+def test_sharded_bloom_anti_join_exact_equality(spark):
+    """The sharded (partitioned) sidecar routes identically to the dense
+    broadcast one: anti_join_with_bloom == plain LEFT ANTI, and a member
+    probe never returns false (no false negatives by construction)."""
+    cand, seen = _cand_seen(spark)
+    sidecar = build_sharded_bloom(seen, "url", n_shards=13, fpp=0.05)
+    try:
+        plain = {tuple(r) for r in cand.join(seen, "url", "left_anti").collect()}
+        bloomed = {
+            tuple(r) for r in anti_join_with_bloom(cand, seen, "url", sidecar).collect()
+        }
+        assert bloomed == plain and len(plain) > 0
+        # every true member must probe True
+        n_members = seen.count()
+        n_true = (
+            seen.withColumn("m", sidecar.probe(F.col("url")))
+            .filter("m").count()
+        )
+        assert n_true == n_members
+    finally:
+        sidecar.destroy()
 
 
 def test_bloom_kernel_admission_equality(spark):

@@ -83,6 +83,19 @@ def test_links_and_images_equal(engine, sim):
     assert eimgs == sorted(sim.images)
 
 
+def test_page_data_rows_equal(engine, sim):
+    """Every BINARY page carries exactly one page_data row whose X1-coded
+    data_type_code (null on switch fall-through) matches the simulator
+    (DatabaseHandler.java:177-178, WebCrawler.java:369-371)."""
+    pd_df = engine.page_data_df()
+    assert pd_df is not None
+    erows = sorted((r["url"], r["data_type_code"]) for r in pd_df.collect())
+    assert erows == sorted(sim.page_data)
+    assert len(erows) > 0  # the fixture webgraph reaches BINARY pages
+    binaries = {u for u, v in sim.pages.items() if v["page_type_code"] == "BINARY"}
+    assert {u for u, _ in erows} == binaries
+
+
 def test_politeness_invariant(engine, fixture_graph):
     """No host visited twice within its crawl delay on the logical clock."""
     _, robots = fixture_graph

@@ -188,3 +188,74 @@ def test_mode_a_java_python_regex_parity(corpus, mode_a):
                 assert got == want, (s, p, field)
                 n += 1
     assert n == 2 * 6 + 2 * 7  # rtvslo 6 fields, mimovrste 6+1 per page
+
+
+# ---------------------------------------------------------------------------
+# mode C (X15) over the REAL reference page pairs (run-extraction.py:337-348)
+# ---------------------------------------------------------------------------
+
+def _norm_ws(s):
+    import re as _re
+
+    return _re.sub(r"\s+", " ", s or "").strip()
+
+
+# minimum golden field-value pairs the induced wrapper must re-extract per
+# site. ceneje's two committed pages are DIFFERENT search queries: their
+# result lists share no structure, so alignment generalizes items to
+# optional subtrees rather than #TEXT wildcards (the reference's auto_ex
+# produces the same optional-heavy shape there) — its floor is structural
+# (optionals + wildcards present), not value recovery.
+_MODE_C_MIN_RECOVERED = {
+    "rtvslo.si": 1,
+    "overstock.com": 30,
+    "mimovrste.si": 1,
+    "ceneje.si": 0,
+}
+
+
+@pytest.mark.parametrize("site", list(_MODE_C_MIN_RECOVERED))
+def test_mode_c_real_pairs(corpus, site):
+    """Induce the wrapper from each site's two committed pages; the #TEXT
+    wildcards' per-page values must re-extract the golden-anchored fields
+    that differ between the pages (containment after whitespace collapse —
+    goldens are post-processed substrings of the raw text nodes)."""
+    import sys
+
+    from webcrawler_spark.extract.induction import induce_and_extract
+
+    sys.setrecursionlimit(100_000)
+    pages = G.PAGES[site]
+    htmls = {r.page: r.html for r in corpus.collect() if r.site == site}
+    h1, h2 = htmls[pages[0]], htmls[pages[1]]
+
+    tpl, fields = induce_and_extract(h1, h2)
+    assert len(tpl) > 1000
+    # repetition collapse can merge identical sibling wildcards in the
+    # template STRING; the captured field list keeps every instance
+    assert 0 < tpl.count("#TEXT") <= len(fields)
+    # self-alignment is wildcard-free (a page is its own template)
+    tpl_self, fields_self = induce_and_extract(h1, h1)
+    assert fields_self == []
+    assert "#TEXT" not in tpl_self
+    # pages with diverging structure must generalize via optional subtrees
+    assert ")?" in tpl
+
+    # golden re-extraction: for each field value pair that differs between
+    # the two pages, some wildcard's (page1, page2) values contain them
+    per_key: dict = {}
+    for s, p, item, field, idx, v in G.golden_rows():
+        if s == site:
+            per_key.setdefault((item, field, idx), {})[p] = v
+    f1 = [_norm_ws(a) for a, _ in fields]
+    f2 = [_norm_ws(b) for _, b in fields]
+    recovered = 0
+    for per_page in per_key.values():
+        if len(per_page) != 2:
+            continue
+        v1, v2 = _norm_ws(per_page.get(pages[0])), _norm_ws(per_page.get(pages[1]))
+        if v1 == v2 or not v1 or not v2:
+            continue
+        if any(v1 in a and v2 in b for a, b in zip(f1, f2)):
+            recovered += 1
+    assert recovered >= _MODE_C_MIN_RECOVERED[site]

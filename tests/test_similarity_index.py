@@ -154,9 +154,31 @@ def test_index_sink_roundtrip(spark, sf_dir, tmp_path):
          for r in back.collect()}
     assert a == b
     # term lookup touches one bucket only (partition pruning on the
-    # bucket directory column)
+    # bucket directory column; bucket_of_term is the driver-side crc32 twin)
+    from webcrawler_spark.index.build import bucket_of_term
+
     one = back.filter(
-        (F.col("bucket") == F.pmod(F.xxhash64(F.lit("table")), F.lit(8)))
+        (F.col("bucket") == bucket_of_term("table", 8))
         & (F.col("word") == "table")
     )
     assert one.count() > 0
+    # the static filter reaches the scan as a PartitionFilter
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan or "bucket#" in plan
+
+
+def test_search_indexed_matches_in_memory(spark, sf_dir, tmp_path):
+    """The persisted-index lookup path (static bucket pruning) returns the
+    same scored hits as the in-memory search (J7/A6/O3)."""
+    from webcrawler_spark.index.build import build_postings, write_index
+    from webcrawler_spark.index.search import search, search_indexed
+    from webcrawler_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    p = build_postings(d)
+    root = str(tmp_path / "idx2")
+    write_index(p, root, buckets=8)
+    q = "table value row"
+    mem = [(r["doc"], r["score"]) for r in search(spark, p, q).collect()]
+    idx = [(r["doc"], r["score"]) for r in search_indexed(spark, root, q, buckets=8).collect()]
+    assert idx == mem and len(idx) > 0

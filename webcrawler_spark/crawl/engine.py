@@ -62,7 +62,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from webcrawler_spark.functions.mime import image_mime
+from webcrawler_spark.functions.mime import data_type_code, image_mime
 from webcrawler_spark.functions.urls import (
     canonicalize_url,
     in_containment,
@@ -77,7 +77,7 @@ MAX_REDIRECT_DEPTH = 3
 
 DELTA_TABLES = (
     "trace", "page_visits", "consumed", "links", "images",
-    "content_map", "page_admissions", "seen",
+    "content_map", "page_admissions", "seen", "page_data",
 )
 
 
@@ -460,33 +460,53 @@ class CrawlEngine:
             )
         )
 
-        binaries = fetched.filter(F.col("content_type") != "text/html").select(
+        binary_fetches = fetched.filter(F.col("content_type") != "text/html")
+        binaries = binary_fetches.select(
             "url",
             F.lit("BINARY").alias("page_type_code"),
             F.lit(200).alias("status"),
             F.lit(t).alias("time_ms"),
             "seq",
         )
+        # every BINARY page gets one page_data row with the X1-coded type —
+        # null when the content type falls through the 5-way switch, exactly
+        # as addPageData(pageId, dataType, null) inserts a null code
+        # (DatabaseHandler.java:177-178, WebCrawler.java:369-371)
+        self._append(
+            "page_data",
+            binary_fetches.select(
+                "url", data_type_code(F.col("content_type")).alias("data_type_code")
+            ),
+        )
 
         htmls = fetched.filter(F.col("content_type") == "text/html")
 
         # 6. content dedup — stored originals (J5) + first-writer window
-        # (W2). Hash-first join: the compound equi-key (fp, text) hash-
-        # partitions on the 8-byte xxhash64 fingerprint with the exact text
-        # equality confirming in the same join (the dedup/exact.py
-        # pattern — reference semantics are exact equality,
-        # DatabaseHandler.java:154-169). At 10^10 pages the state side
-        # splits further into an (fp, url, vseq) index join + a confirm
-        # fetch so stored text never re-shuffles; at engine scale the
-        # compound key keeps one join per sub-step.
-        cm = self.content_map.select(
-            "fp", F.col("text"), F.col("url").alias("stored_url")
-        ).withColumnRenamed("fp", "cfp")
+        # (W2), as an index/confirm SPLIT (the 100-TB shape): the state
+        # side first joins as an fp-only INDEX, so stored page text never
+        # enters the per-sub-step exchange. Batch fps semi-join the index
+        # (8-byte rows on both sides) to find fp collisions — actual
+        # duplicates plus 2^-64 hash accidents; only the fp-matching
+        # stored rows are then fetched (cm_hit) for the exact-equality
+        # confirm join. Reference semantics are exact string equality
+        # (DatabaseHandler.java:154-169): fp routes, never decides.
+        # matched_fps is duplicate-sized (tiny → broadcast), which keeps
+        # cm_hit duplicate-sized too, so the confirm join broadcasts as
+        # well — the candidate batch never re-exchanges for the confirm.
         htmls = htmls.withColumn("fp", F.xxhash64("text_norm"))
+        matched_fps = (
+            htmls.select("fp")
+            .join(self.content_map.select("fp"), "fp", "left_semi")
+            .distinct()
+        )
+        cm_hit = (
+            self.content_map.join(F.broadcast(matched_fps), "fp", "left_semi")
+            .select(F.col("fp").alias("cfp"), "text", F.col("url").alias("stored_url"))
+        )
         ded = (
             htmls.join(
-                cm,
-                (htmls.fp == cm.cfp) & (htmls.text_norm == cm.text),
+                F.broadcast(cm_hit),
+                (htmls.fp == cm_hit.cfp) & (htmls.text_norm == cm_hit.text),
                 "left",
             )
             .drop("cfp", "text")
@@ -586,7 +606,7 @@ class CrawlEngine:
         seen_c = self.seen.withColumnRenamed("url", "curl")
         if self._sidecar is not None:
             tagged = cand.withColumn(
-                "_maybe", self._sidecar.might_contain(F.xxhash64(F.col("curl")))
+                "_maybe", self._sidecar.probe(F.col("curl"))
             ).persist()
             self._live_caches.append(tagged)
             fresh = tagged.filter(~F.col("_maybe")).drop("_maybe").join(
@@ -698,11 +718,16 @@ class CrawlEngine:
         self.host_state = self._ckpt(self.host_state.coalesce(sp), "host_state")
         self._state_dirty = False
         if self.cfg.use_bloom_prefilter:
-            from webcrawler_spark.functions.bloom import build_bloom
+            # sharded (partitioned) sidecar — per-shard .npy bitsets on
+            # shared storage, no broadcast; see functions/bloom.py for the
+            # 10^10 memory math. Rebuilt at each truncation into a fresh
+            # path (worker-side shard caches key on path, so stale shards
+            # age out of the LRU naturally).
+            from webcrawler_spark.functions.bloom import build_sharded_bloom
 
             if self._sidecar is not None:
                 self._sidecar.destroy()
-            self._sidecar = build_bloom(self.seen, "url", fpp=0.01)
+            self._sidecar = build_sharded_bloom(self.seen, "url", fpp=0.01)
             self._seen_new = self.spark.createDataFrame([], "url string")
 
     # ------------------------------------------------------------------
@@ -859,6 +884,9 @@ class CrawlEngine:
 
     def images_df(self) -> DataFrame:
         return self._read_all("images")
+
+    def page_data_df(self) -> DataFrame | None:
+        return self._read_all("page_data")
 
     def metrics_df(self) -> DataFrame:
         return self._read_all("metrics")

@@ -146,10 +146,13 @@ def admission_kernel(
         # incrementally from seen-set deltas at commit time in the
         # engine); pass a prebuilt one to keep a one-round measurement
         # honest, else it is built here.
-        from webcrawler_spark.functions.bloom import anti_join_with_bloom, build_bloom
+        from webcrawler_spark.functions.bloom import (
+            anti_join_with_bloom,
+            build_sharded_bloom,
+        )
 
         if sidecar is None:
-            sidecar = build_bloom(seen, "url", expected_items=n_seen, fpp=0.01)
+            sidecar = build_sharded_bloom(seen, "url", expected_items=n_seen, fpp=0.01)
         out = anti_join_with_bloom(c, seen, "url", sidecar, cache_registry)
         return out.select("url", "host", "parent_seq", "pos")
     return c.join(seen, "url", "left_anti").select("url", "host", "parent_seq", "pos")
@@ -167,11 +170,13 @@ def dedup_kernel(spark: SparkSession, n_texts: int) -> DataFrame:
 
 
 def build_seen_sidecar(spark: SparkSession, n_seen: int):
-    """Build the Bloom sidecar for synth_seen — carried state, maintained
-    incrementally in the engine; built outside the timed round."""
-    from webcrawler_spark.functions.bloom import build_bloom
+    """Build the sharded Bloom sidecar for synth_seen — carried state,
+    maintained incrementally in the engine; built outside the timed round."""
+    from webcrawler_spark.functions.bloom import build_sharded_bloom
 
-    return build_bloom(synth_seen(spark, n_seen), "url", expected_items=n_seen, fpp=0.01)
+    return build_sharded_bloom(
+        synth_seen(spark, n_seen), "url", expected_items=n_seen, fpp=0.01
+    )
 
 
 def run_round_kernel(spark: SparkSession, n_candidates: int = 4_000_000,

@@ -167,7 +167,10 @@ def lsh_near_duplicate_pairs(
         sig = bit if sig is None else sig + bit
     v = v.select("id", "v", sig.alias("sig"))
     # multiprobe: each row lands in its own bucket + all Hamming-1 buckets;
-    # pairs sharing any probe bucket are candidates (≤ Hamming-1 apart)
+    # pairs sharing any probe bucket are candidates. The candidate metric
+    # is ≤ Hamming-2 (two DIFFERENT single-bit probes collide when
+    # sig^2^i == sig'^2^j), not strict Hamming-1 — the DuckDB oracle
+    # mirrors the same probe set so parity holds either way
     probes = F.array(*([F.col("sig")] + [
         F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(LSH_PLANES)
     ]))

@@ -77,13 +77,29 @@ def shingle_id_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
 def signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """doc_id + minhash signature columns mh0..mh{k-1} (docs with <1 shingle dropped).
 
-    The repartition between the shingle build and the 16 min-transforms is
-    an exchange BARRIER: without it CollapseProject inlines the md5-based
-    shingle expression into the signature columns (re-hashing per
-    reference); the shuffled payload is just (doc_id, array<long>) — tiny
-    relative to the recompute it prevents (25% measured at sf0.1)."""
-    d = shingle_id_sets(docs, id_col, text_col).filter(F.size("sh") > 0)
-    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    The <1-shingle filter is ``size(tok) >= 3`` (equivalent: a doc has a
+    3-gram iff it has ≥3 tokens), NOT ``size(sh) > 0``: predicate pushdown
+    substitutes the filtered column's defining expression into the
+    condition, so filtering on ``sh`` re-evaluates the md5-per-gram chain
+    per doc (25% measured at sf0.1) where filtering on ``tok`` re-runs
+    only the cheap tokenizer. Round 2 fixed the same re-evaluation with a
+    ``repartition`` exchange barrier; this form needs no exchange at all
+    (the 16 ``mh`` columns reference ``sh`` 16×, which CollapseProject
+    never inlines — it only collapses cheap or singly-referenced
+    producers). Best-of-3 at sf0.1/32 cores: 4.1s, tied with the barrier
+    form minus its exchange, vs 5.5s with the pushdown re-evaluation."""
+    d = (
+        _spread(docs)
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tok"))
+        .filter(F.size("tok") >= 3)
+        .select("doc_id", ngrams(F.col("tok"), 3).alias("grams"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform("grams", lambda s: portable_hash64(s) % M)
+            ).alias("sh"),
+        )
+    )
     cols = [
         F.array_min(F.transform(F.col("sh"), lambda x: (F.lit(A[i]) * x + F.lit(B[i])) % P)).alias(f"mh{i}")
         for i in range(NUM_PERM)

@@ -46,13 +46,21 @@ def _render(node: Node, body: str) -> str:
     return f"<{node.tag}>{body}</{node.tag}>"
 
 
-def align(a: Node, b: Node) -> str:
-    """Template of two same-signature nodes."""
+def align(a: Node, b: Node, fields: list | None = None) -> str:
+    """Template of two same-signature nodes.
+
+    When ``fields`` is given, every ``#TEXT`` wildcard also APPENDS the
+    pair of page texts it generalized — i.e. the mode-C *extraction* of
+    the data fields from both input pages (the wildcard positions are
+    exactly where per-page data lives; run-extraction.py:337-348 prints
+    the template, the extraction is its value assignment)."""
     ta, tb = _own_text(a), _own_text(b)
     if ta == tb:
         text = ta
     else:
         text = "#TEXT"  # differing data → extractable wildcard
+        if fields is not None:
+            fields.append((ta, tb))
 
     sa = [_sig(c) for c in a.children]
     sb = [_sig(c) for c in b.children]
@@ -61,7 +69,7 @@ def align(a: Node, b: Node) -> str:
     for op, i1, i2, j1, j2 in sm.get_opcodes():
         if op == "equal":
             for ca, cb in zip(a.children[i1:i2], b.children[j1:j2]):
-                parts.append(align(ca, cb))
+                parts.append(align(ca, cb, fields))
         elif op in ("delete", "insert"):
             src = a.children[i1:i2] if op == "delete" else b.children[j1:j2]
             for c in src:
@@ -87,6 +95,15 @@ def align(a: Node, b: Node) -> str:
 def induce_template(html1: str, html2: str) -> str:
     """The mode-C entry: template of two pages (run-extraction.py:337-348)."""
     return align(parse_html(html1), parse_html(html2))
+
+
+def induce_and_extract(html1: str, html2: str) -> tuple[str, list[tuple[str, str]]]:
+    """Mode-C template + the per-page values of every #TEXT wildcard —
+    the (page1_text, page2_text) pairs the template generalizes, i.e. the
+    induced wrapper's extraction of both input pages."""
+    fields: list[tuple[str, str]] = []
+    tpl = align(parse_html(html1), parse_html(html2), fields)
+    return tpl, fields
 
 
 def induce_wrappers(pages: DataFrame, site_col: str = "site",

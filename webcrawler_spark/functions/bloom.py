@@ -15,17 +15,40 @@ and candidate batches of 10^8, ~99% of candidates are new — the Bloom
 sidecar routes them around the shuffle, so the exact join only touches
 the ~1% that might match.
 
-Build is distributed (partitioned): per URL, k bit positions via
-double hashing of ``xxhash64(url)``; explode → ``groupBy(word_index)``
-``bit_or`` — one shuffle of (int, long) pairs; the dense bitset is
-assembled from the sparse set words (≤ m/64 rows) and broadcast.
-Membership test is a vectorized Arrow UDF over the same ``xxhash64``
-longs — numpy gather + bit test, no per-row Python.
+Two sidecar layouts:
+
+* ``BloomSidecar`` (``build_bloom``) — ONE dense bitset broadcast to
+  every executor. Fine to ~10^8 seen URLs; at 10^10 / 1% FPR the bitset
+  is m = n·ln(1/p)/ln²2 ≈ 9.59·10^10 bits ≈ **12 GB per executor** —
+  unshippable as a broadcast.
+
+* ``ShardedBloomSidecar`` (``build_sharded_bloom``) — the north_rule's
+  *partitioned* layout. K per-shard bitsets keyed by
+  ``pmod(murmur3(url), K)`` — deliberately the EXACT formula of Spark's
+  ``HashPartitioning`` partition id (``Pmod(Murmur3Hash(url), K)``), so
+  any stage already hash-partitioned on the url column (the admission
+  pipeline's first-occurrence aggregate output is) sees exactly one
+  shard per task when K = shuffle partitions. Shards are ``.npy`` files
+  on shared storage (object store in production), loaded lazily per
+  Python worker through a small LRU — no broadcast anywhere.
+  Memory math at 10^10 URLs / 1% FPR / K = 4096: 12 GB total → 2.9 MB
+  per shard; resident per executor ≤ LRU_cap (8) × 2.9 MB ≈ 23 MB,
+  vs 12 GB for the dense broadcast. Build is one shuffle of
+  (shard, hash) pairs; each shard file is written by exactly one task
+  (same-shard rows co-locate under the shard-keyed repartition) via
+  tmp-file + atomic rename, so task retries never publish a torn file.
+
+Membership tests in both layouts are vectorized Arrow UDFs over
+``xxhash64`` longs — numpy gather + bit test, no per-row Python.
 """
 
 from __future__ import annotations
 
 import math
+import os
+import shutil
+import tempfile
+from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
@@ -68,8 +91,146 @@ class BloomSidecar:
 
         return _mc(hash_col)
 
+    def probe(self, url_col: Column) -> Column:
+        """Membership test on the raw key column (shared sidecar API)."""
+        return self.might_contain(F.xxhash64(url_col))
+
     def destroy(self):
         self._bcast.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Sharded sidecar (the 10^10-scale layout — see module docstring)
+# ---------------------------------------------------------------------------
+
+# per-Python-worker shard cache: workers are reused across tasks, so a task
+# probing shard s usually finds it already resident from the previous task
+# on the same worker. Keyed by (path, shard) — a rebuilt sidecar lives at a
+# fresh path, so stale entries simply age out.
+_SHARD_CACHE: OrderedDict[tuple[str, int], np.ndarray] = OrderedDict()
+_SHARD_CACHE_MAX = 8
+
+
+def _shard_file(path: str, shard: int) -> str:
+    return os.path.join(path, f"shard_{shard:06d}.npy")
+
+
+def _load_shard(path: str, shard: int, n_words: int) -> np.ndarray:
+    key = (path, shard)
+    arr = _SHARD_CACHE.get(key)
+    if arr is not None:
+        _SHARD_CACHE.move_to_end(key)
+        return arr
+    f = _shard_file(path, shard)
+    if os.path.exists(f):
+        arr = np.load(f).view(np.uint64)
+    else:
+        # no seen URL hashed into this shard — empty bitset
+        arr = np.zeros(n_words, dtype=np.uint64)
+    _SHARD_CACHE[key] = arr
+    while len(_SHARD_CACHE) > _SHARD_CACHE_MAX:
+        _SHARD_CACHE.popitem(last=False)
+    return arr
+
+
+def shard_of(col: Column, n_shards: int) -> Column:
+    """Shard id of a key — ``pmod(murmur3(col), K)``, the exact partition-id
+    expression of Spark's ``HashPartitioning`` so shard locality aligns
+    with existing url-keyed exchanges."""
+    return F.pmod(F.hash(col), F.lit(n_shards))
+
+
+class ShardedBloomSidecar:
+    """K per-shard Bloom bitsets on shared storage, probed lazily."""
+
+    def __init__(self, path: str, n_shards: int, n_words: int, k: int):
+        self.path = path
+        self.n_shards = n_shards
+        self.n_words = n_words  # words per shard
+        self.k = k
+
+    def might_contain(self, hash_col: Column, shard_col: Column) -> Column:
+        """Vectorized membership test on (xxhash64 value, shard id)."""
+        path, n_shards, n_words, k = self.path, self.n_shards, self.n_words, self.k
+        m_bits = n_words * 64
+
+        @F.pandas_udf(T.BooleanType())
+        def _mc(h: pd.Series, s: pd.Series) -> pd.Series:
+            hv = h.to_numpy(dtype=np.int64).view(np.uint64)
+            sv = s.to_numpy(dtype=np.int64)
+            out = np.zeros(len(hv), dtype=bool)
+            for shard in np.unique(sv):
+                words = _load_shard(path, int(shard), n_words)
+                mask = sv == shard
+                hh = hv[mask]
+                res = np.ones(len(hh), dtype=bool)
+                for pos in _positions(hh, k, m_bits):
+                    w = (pos >> np.uint64(6)).astype(np.int64)
+                    b = pos & np.uint64(63)
+                    res &= (words[w] >> b) & np.uint64(1) != 0
+                out[mask] = res
+            return pd.Series(out)
+
+        return _mc(hash_col, shard_col)
+
+    def probe(self, url_col: Column) -> Column:
+        return self.might_contain(
+            F.xxhash64(url_col), shard_of(url_col, self.n_shards)
+        )
+
+    def destroy(self):
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+def build_sharded_bloom(
+    df: DataFrame,
+    col: str = "url",
+    path: str | None = None,
+    n_shards: int | None = None,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> ShardedBloomSidecar:
+    """Distributed partitioned Bloom build: one shuffle of (shard, hash)
+    pairs; each task accumulates dense local bitsets for its shards and
+    publishes one ``.npy`` per shard (tmp + atomic rename)."""
+    spark = df.sparkSession
+    if path is None:
+        path = tempfile.mkdtemp(prefix="bloom_sidecar_")
+    os.makedirs(path, exist_ok=True)
+    if n_shards is None:
+        n_shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if expected_items is None:
+        expected_items = df.count()
+    # size each shard for its expected uniform load + 20% skew headroom
+    per_shard = max(64, int(expected_items / n_shards * 1.2) + 64)
+    n_words, k = _params(per_shard, fpp)
+    m_bits = n_words * 64
+
+    data = df.select(
+        shard_of(F.col(col), n_shards).alias("s"),
+        F.xxhash64(F.col(col)).alias("h"),
+    ).repartition(n_shards, "s")
+
+    def write_shards(batches):
+        local: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            for s, grp in pdf.groupby("s"):
+                arr = local.setdefault(int(s), np.zeros(n_words, dtype=np.uint64))
+                hv = grp["h"].to_numpy(dtype=np.int64).view(np.uint64)
+                pos = _positions(hv, k, m_bits).ravel()
+                w = (pos >> np.uint64(6)).astype(np.int64)
+                bits = np.uint64(1) << (pos & np.uint64(63))
+                np.bitwise_or.at(arr, w, bits)
+        for s, arr in local.items():
+            final = _shard_file(path, s)
+            fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+            with os.fdopen(fd, "wb") as fh:
+                np.save(fh, arr.view(np.int64))
+            os.replace(tmp, final)
+        yield pd.DataFrame({"s": list(local), "n": [1] * len(local)})
+
+    data.mapInPandas(write_shards, schema="s int, n int").count()
+    return ShardedBloomSidecar(path, n_shards, n_words, k)
 
 
 def _params(expected_items: int, fpp: float) -> tuple[int, int]:
@@ -122,12 +283,13 @@ def build_bloom(
 
 
 def anti_join_with_bloom(
-    candidates: DataFrame, seen: DataFrame, on: str, sidecar: BloomSidecar,
+    candidates: DataFrame, seen: DataFrame, on: str,
+    sidecar: BloomSidecar | ShardedBloomSidecar,
     cache_registry: list | None = None,
 ) -> DataFrame:
     """J2 with the F5 prefilter: definite-new rows bypass the exact join;
     possible members are confirmed by LEFT ANTI. Result set is EXACTLY
-    the plain anti-join's (tested).
+    the plain anti-join's (tested). Works with either sidecar layout.
 
     ``tagged`` feeds both branches of the union — persist it so the
     candidate pipeline (and the membership UDF) runs once, not twice. The
@@ -135,8 +297,7 @@ def anti_join_with_bloom(
     caller can unpersist after its action; leaked caches across rounds
     evict each other and wreck throughput.
     """
-    h = F.xxhash64(F.col(on))
-    tagged = candidates.withColumn("_maybe", sidecar.might_contain(h)).persist()
+    tagged = candidates.withColumn("_maybe", sidecar.probe(F.col(on))).persist()
     if cache_registry is not None:
         cache_registry.append(tagged)
     fresh = tagged.filter(~F.col("_maybe")).drop("_maybe")

@@ -65,3 +65,10 @@ def data_type_code(content_type: Column) -> Column:
 
 def image_mime_py(ext: str) -> str:
     return IMAGE_MIME.get(ext.lower(), IMAGE_MIME_DEFAULT)
+
+
+def data_type_code_py(content_type: str | None) -> str | None:
+    """X1 Python twin (simulator oracle)."""
+    if content_type is None:
+        return None
+    return CONTENT_TYPE_TO_DATA_TYPE.get(content_type)

@@ -69,7 +69,11 @@ def parse_robots_py(body: str | None, user_agent: str = "*") -> RobotsRules:
         key, _, val = line.partition(":")
         key = key.strip().lower()
         val = val.strip()
-        if key != "user-agent":
+        if key in ("disallow", "allow", "crawl-delay"):
+            # only GROUP rules terminate a user-agent run — RFC 9309 treats
+            # Sitemap (and unknown records) as non-group lines that must not
+            # split "User-agent: a / Sitemap: s / User-agent: b" into two
+            # groups
             in_ua_run = False
         if key == "user-agent":
             # consecutive User-agent lines form ONE group (standard REP):

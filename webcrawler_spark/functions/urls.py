@@ -96,7 +96,11 @@ def url_host(url: Column) -> Column:
     hostport = F.substring_index(F.substring_index(rest, "/", 1), "@", -1)
     h = F.lower(F.substring_index(hostport, ":", 1))
     h = F.when(h.startswith("www."), F.substring(h, 5, 2_000_000_000)).otherwise(h)
-    return F.when(t.rlike(_SCHEME_RE) & (h != ""), h)
+    # host-charset validity (match-only rlike): java.net.URI yields a null
+    # host for reg-names outside [A-Za-z0-9.-] (e.g. foo_bar.gov.si), which
+    # the reference's URISyntaxException catch drops — without this check
+    # the substring-view extraction admitted such hosts
+    return F.when(t.rlike(_SCHEME_RE) & (h != "") & h.rlike("^[a-z0-9.-]+$"), h)
 
 
 def in_containment(host: Column, seed_domains: tuple[str, ...] = DEFAULT_SEED_DOMAINS) -> Column:
@@ -158,6 +162,9 @@ def canonicalize_url_py(url: str) -> str:
 _SCHEME_RE_PY = re.compile(_SCHEME_RE)
 
 
+_HOST_CHARSET_RE_PY = re.compile(r"[a-z0-9.-]+\Z")
+
+
 def url_host_py(url: str) -> str | None:
     t = url.strip()
     if not _SCHEME_RE_PY.match(t):
@@ -167,7 +174,9 @@ def url_host_py(url: str) -> str | None:
     h = hostport.split(":", 1)[0].lower()
     if h.startswith("www."):
         h = h[4:]
-    return h or None
+    if not h or not _HOST_CHARSET_RE_PY.fullmatch(h):
+        return None
+    return h
 
 
 def in_containment_py(host: str | None, seed_domains=DEFAULT_SEED_DOMAINS) -> bool:

@@ -48,17 +48,30 @@ def vocabulary(postings: DataFrame) -> DataFrame:
     return postings.select("word").distinct()
 
 
+def bucket_of_term(term: str, buckets: int = 16) -> int:
+    """Driver-side twin of the index bucket function — crc32 is the same
+    standard polynomial in ``zlib`` and Spark's ``F.crc32``, so a term's
+    bucket is computable without a Spark job and the search path can
+    STATICALLY prune the parquet partition filter to the term buckets."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % buckets
+
+
 def write_index(postings: DataFrame, path: str, buckets: int = 16) -> None:
     """S9: persist the inverted index as parquet tables — the batch-write
     replacement for the reference's row-at-a-time SQLite executemany
     (processing.py:66-73). ``postings/`` is laid out in hash buckets of
     ``word`` (directory partition on a stable bucket of the join key) so
     a term lookup (J7) prunes to one bucket; ``words/`` is the IndexWord
-    table."""
+    table. The bucket hash is crc32 (identical in zlib and the JVM — see
+    ``bucket_of_term``) so lookups prune with static partition filters."""
     from pyspark.sql import functions as F
 
     (
-        postings.withColumn("bucket", F.pmod(F.xxhash64("word"), F.lit(buckets)))
+        postings.withColumn(
+            "bucket", F.pmod(F.crc32(F.col("word").cast("binary")), F.lit(buckets))
+        )
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{path}/postings")

@@ -35,6 +35,53 @@ def search(
     )
 
 
+def search_indexed(
+    spark: SparkSession, index_path: str, query: str, buckets: int = 16
+) -> DataFrame:
+    """Term lookup against the PERSISTED index (S9 + J7/A6/O3): the terms'
+    crc32 buckets are computed driver-side (``bucket_of_term``), so the
+    parquet scan carries a static ``bucket IN (...)`` partition filter —
+    only the term buckets' files are ever opened, the reference's
+    index-vs-full-scan latency story (report/main.tex:105-118) at Spark
+    partition granularity."""
+    from webcrawler_spark.index.build import bucket_of_term, read_index
+
+    terms = [t for t in query.lower().split(" ") if t]
+    bucket_ids = sorted({bucket_of_term(t, buckets) for t in terms})
+    postings = read_index(spark, index_path).filter(
+        F.col("bucket").isin(bucket_ids) & F.col("word").isin(terms)
+    )
+    # literal isin, NOT the J7 broadcast join: a lookup's terms are a
+    # handful of literals, so the isin reaches the parquet scan as a
+    # PushedFilter (row-group pruning inside the pruned buckets) and the
+    # broadcast-exchange job disappears — halves interactive latency.
+    # search() keeps the join form for term sets that are themselves data.
+    return (
+        postings.groupBy("doc")
+        .agg(F.sum("frequency").cast("long").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc"))
+    )
+
+
+def search_scan(docs: DataFrame, query: str,
+                doc_col: str = "doc", text_col: str = "text",
+                stopwords: tuple[str, ...] = STOPWORDS_EN,
+                tokenizer=tokens) -> DataFrame:
+    """The reference's 'manual checking' baseline (run-basic-search.py):
+    tokenize EVERY document per query and count matches — no index. Kept
+    as the comparison anchor for the search-latency bench."""
+    tok = remove_stopwords(tokenizer(F.col(text_col)), stopwords)
+    terms = [t for t in query.lower().split(" ") if t]
+    tarr = F.array(*[F.lit(t) for t in terms])
+    score = F.size(F.filter(tok, lambda w: F.array_contains(tarr, w)))
+    return (
+        docs.select(F.col(doc_col).alias("doc"), score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .withColumn("score", F.col("score").cast("long"))
+    )
+
+
 def snippets(
     docs: DataFrame,
     hits: DataFrame,

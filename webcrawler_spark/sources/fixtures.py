@@ -238,10 +238,17 @@ def make_webgraph(
                          "text_norm": None, "dup_group": -1,
                          "out_links": [], "img_srcs": []})
             continue
-        if p["kind"] == "html" and p["url"] not in SEED_URLS and prng.random() < 0.04:
+        if p["kind"] == "html" and p["url"] not in SEED_URLS and (
+            prng.random() < 0.04 or p["url"].endswith("/p2")
+        ):
             # "sneaky binary": innocuous URL, binary content-type — the
-            # HEAD-probe path to BINARY pages (WebCrawler.java:334-378)
-            rows.append({**p, "status": 200, "content_type": "application/pdf",
+            # HEAD-probe path to BINARY pages (WebCrawler.java:334-378).
+            # Every host's /p2 is deterministically sneaky so small test
+            # webgraphs reach BINARY pages (and page_data rows, X1) too;
+            # alternate the content type so the X1 switch's match AND
+            # fall-through (zip → null code) branches are both exercised.
+            ct = "application/pdf" if i % 2 == 0 else "application/zip"
+            rows.append({**p, "status": 200, "content_type": ct,
                          "redirect_to": None, "html": None, "text_norm": None,
                          "dup_group": -1, "out_links": [], "img_srcs": []})
             continue

@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 
 import pandas as pd
 
-from webcrawler_spark.functions.mime import image_mime_py
+from webcrawler_spark.functions.mime import data_type_code_py, image_mime_py
 from webcrawler_spark.functions.urls import (
     canonicalize_url_py,
     in_containment_py,
@@ -50,6 +50,7 @@ class SimResult:
     pages: dict = field(default_factory=dict)    # url -> dict(type,status,time,seq)
     links: list = field(default_factory=list)    # (from_url, to_url)
     images: list = field(default_factory=list)   # (page_url, src, content_type)
+    page_data: list = field(default_factory=list)  # (url, data_type_code|None)
     seen: set = field(default_factory=set)       # all admitted-or-visited URLs
 
     def trace_df(self) -> pd.DataFrame:
@@ -203,6 +204,9 @@ def simulate(
         if row["content_type"] != "text/html":
             res.pages[url] = {"page_type_code": "BINARY", "status": int(row["status"]),
                               "time_ms": now, "seq": sq}
+            # one page_data row per BINARY page, code null on switch
+            # fall-through (DatabaseHandler.java:177-178, WebCrawler.java:369-371)
+            res.page_data.append((url, data_type_code_py(row["content_type"])))
             stored += 1
             continue
 
