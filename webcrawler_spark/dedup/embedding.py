@@ -166,20 +166,24 @@ def lsh_near_duplicate_pairs(
         bit = F.when(d > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << i)
         sig = bit if sig is None else sig + bit
     v = v.select("id", "v", sig.alias("sig"))
-    # multiprobe: each row lands in its own bucket + all Hamming-1 buckets;
-    # pairs sharing any probe bucket are candidates. The candidate metric
-    # is ≤ Hamming-2 (two DIFFERENT single-bit probes collide when
-    # sig^2^i == sig'^2^j), not strict Hamming-1 — the DuckDB oracle
-    # mirrors the same probe set so parity holds either way
+    # ASYMMETRIC multiprobe: the left side sits only in its own signature
+    # bucket; the right side probes its own + all single-bit-flipped
+    # buckets. A pair collides iff sig_l == sig_r or sig_l == sig_r^2^i —
+    # i.e. the candidate metric is STRICT Hamming ≤ 1 (symmetric two-sided
+    # probing admits Hamming-2 pairs through two different flips), and the
+    # probe self-join explodes 1×9 instead of 9×9. The DuckDB oracle
+    # mirrors the same asymmetric probe set bit-for-bit.
     probes = F.array(*([F.col("sig")] + [
         F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(LSH_PLANES)
     ]))
-    banded = v.select("id", "v", "sig", F.explode(probes).alias("bucket"))
-    l, r = banded.alias("l"), banded.alias("r")
+    left = v.select("id", "v", F.col("sig").alias("bucket"))
+    right = v.select("id", "v", F.explode(probes).alias("bucket"))
+    l, r = left.alias("l"), right.alias("r")
     cand = (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"),
-                F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") != F.col("r.id")))
+        .select(F.least("l.id", "r.id").alias("a"), F.greatest("l.id", "r.id").alias("b"),
+                F.when(F.col("l.id") < F.col("r.id"), F.col("l.v")).otherwise(F.col("r.v")).alias("va"),
+                F.when(F.col("l.id") < F.col("r.id"), F.col("r.v")).otherwise(F.col("l.v")).alias("vb"))
         .dropDuplicates(["a", "b"])
     )
     return (
@@ -195,7 +199,8 @@ def lsh_near_duplicate_oracle_sql(
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
 ) -> str:
     """DuckDB mirror of `lsh_near_duplicate_pairs` — same planes, same
-    integer signature arithmetic, same Hamming-1 probing."""
+    integer signature arithmetic, same ASYMMETRIC Hamming-1 probing
+    (left = own signature bucket, right = own + single-bit flips)."""
     planes = _sign_planes(dim)
     sig_terms = []
     for i, p in enumerate(planes):
@@ -216,8 +221,8 @@ def lsh_near_duplicate_oracle_sql(
         ), banded AS (
             SELECT id, v, unnest([{probes}]) AS bucket FROM s
         ), cand AS (
-            SELECT DISTINCT l.id AS a, r.id AS b
-            FROM banded l JOIN banded r ON l.bucket = r.bucket AND l.id < r.id
+            SELECT DISTINCT least(l.id, r.id) AS a, greatest(l.id, r.id) AS b
+            FROM s l JOIN banded r ON l.sig = r.bucket AND l.id <> r.id
         ), scored AS (
             SELECT c.a, c.b,
                    round(list_dot_product(x.v, y.v) /
