@@ -18,10 +18,32 @@ Stages (mirroring engine._substep, citations in engine.py):
   dedup first-writer window (J5/W2)
 
 Inputs are generated *inside Spark* (range + column expressions — no
-driver-side data), deterministic in (n_candidates, n_seen).
+driver-side data), deterministic in (n_candidates, n_seen). For the timed
+scaling measurement they are materialized to parquet first
+(``materialize_round_inputs``) and the kernel reads them back: in a real
+round the candidate batch is the previous round's stored link-extraction
+output and the seen set is carried state, so the at-scale job reads
+columnar storage — it does not re-derive its input from a generator fused
+into the scan (the generator's string-concat chain is itself memory-bus-
+bound and distorts both the absolute rate and the scaling ratio).
+
+Codegen note (measured here, applied in session.py/bench.py): the fused
+admission stage's generated method is >8 KB of bytecode, past the JVM
+JIT's DontCompileHugeMethods limit but under Spark's 64 KB fallback
+ceiling, so without intervention it runs in the JVM *bytecode
+interpreter* — 105 s vs 3.2 s per 16M rows at 16 cores for the same
+filter chain. ``spark.sql.codegen.hugeMethodLimit=8000`` makes Spark
+fall back to per-operator codegen (small JIT-able classes) for any such
+stage. A hash-keyed first-occurrence variant (groupBy (xxhash64, murmur3)
+carrying ``min_by(url, ord)``) was measured within host noise of the
+exact string-keyed groupBy once that JIT fix landed (best-of-3
+interleaved, 32M rows: 26.5 s vs 27.6 s at 16 cores), so the exact
+string key stays.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -89,9 +111,32 @@ def synth_texts(spark: SparkSession, n: int) -> DataFrame:
     return spark.range(n).select(F.col("id").alias("seq"), words.alias("text"))
 
 
+def materialize_round_inputs(
+    spark: SparkSession, root: str, n_candidates: int, n_seen: int, n_texts: int,
+    n_files: int = 64,
+) -> str:
+    """Write the synthetic round inputs as parquet once (idempotent): the
+    timed kernel then reads columnar storage, as a production round does —
+    candidates are the previous round's stored extraction output, the seen
+    set and page texts are carried state."""
+    if os.path.exists(f"{root}/_OK"):
+        return root
+    os.makedirs(root, exist_ok=True)
+    synth_candidates(spark, n_candidates).repartition(n_files) \
+        .write.mode("overwrite").parquet(f"{root}/cand")
+    synth_seen(spark, n_seen).repartition(n_files) \
+        .write.mode("overwrite").parquet(f"{root}/seen")
+    synth_texts(spark, n_texts).repartition(n_files) \
+        .write.mode("overwrite").parquet(f"{root}/texts")
+    with open(f"{root}/_OK", "w") as fh:
+        fh.write("ok")
+    return root
+
+
 def admission_kernel(
     spark: SparkSession, n_candidates: int, n_seen: int, use_bloom: bool = True,
     sidecar=None, cache_registry: list | None = None,
+    cand: DataFrame | None = None, seen: DataFrame | None = None,
 ) -> DataFrame:
     """F1-F7 + robots-prefix + in-batch aggregate + seen anti-join (J2).
 
@@ -103,8 +148,10 @@ def admission_kernel(
     duplicated regex work both slowed the scan 12× and capped 4→16-core
     scaling at 0.67 via allocation pressure on the shared memory bus.)
     """
-    cand = synth_candidates(spark, n_candidates)
-    seen = synth_seen(spark, n_seen)
+    if cand is None:
+        cand = synth_candidates(spark, n_candidates)
+    if seen is None:
+        seen = synth_seen(spark, n_seen)
     c0 = cand.filter(~is_rejected_scheme(F.col("raw"))).select(
         "parent_seq", "pos", canonicalize_url(F.col("raw")).alias("url")
     )
@@ -158,9 +205,10 @@ def admission_kernel(
     return c.join(seen, "url", "left_anti").select("url", "host", "parent_seq", "pos")
 
 
-def dedup_kernel(spark: SparkSession, n_texts: int) -> DataFrame:
+def dedup_kernel(spark: SparkSession, n_texts: int,
+                 texts: DataFrame | None = None) -> DataFrame:
     """J5/W2: fingerprint + first-writer-wins on whitespace-collapsed text."""
-    t = synth_texts(spark, n_texts)
+    t = synth_texts(spark, n_texts) if texts is None else texts
     norm = F.lower(collapse_ws(F.col("text")))
     f = t.select("seq", F.xxhash64(norm).alias("fp"))
     firsts = f.groupBy("fp").agg(F.min("seq").alias("first_seq"))
@@ -181,16 +229,26 @@ def build_seen_sidecar(spark: SparkSession, n_seen: int):
 
 def run_round_kernel(spark: SparkSession, n_candidates: int = 4_000_000,
                      n_seen: int = 2_000_000, n_texts: int = 1_000_000,
-                     sidecar=None, use_bloom: bool = True) -> dict:
-    """One production-scale round: admission + content dedup; returns counts."""
+                     sidecar=None, use_bloom: bool = True,
+                     input_root: str | None = None) -> dict:
+    """One production-scale round: admission + content dedup; returns counts.
+
+    With ``input_root`` (written by ``materialize_round_inputs``) the round
+    reads its inputs from parquet — the production shape; without it the
+    synthetic generators are fused into the scan (fine for tests)."""
+    cand = seen = texts = None
+    if input_root is not None:
+        cand = spark.read.parquet(f"{input_root}/cand")
+        seen = spark.read.parquet(f"{input_root}/seen")
+        texts = spark.read.parquet(f"{input_root}/texts")
     caches: list = []
     admitted = admission_kernel(spark, n_candidates, n_seen,
                                 use_bloom=use_bloom, sidecar=sidecar,
-                                cache_registry=caches)
+                                cache_registry=caches, cand=cand, seen=seen)
     n_admitted = admitted.count()
     for c in caches:
         c.unpersist()
-    deduped = dedup_kernel(spark, n_texts)
+    deduped = dedup_kernel(spark, n_texts, texts=texts)
     n_dup = deduped.filter("is_duplicate").count()
     return {"n_candidates": n_candidates, "n_admitted": n_admitted,
             "n_texts": n_texts, "n_duplicates": n_dup}

@@ -44,6 +44,14 @@ def get_spark(
         # content joins) are 3× faster as shuffled-hash than sort-merge —
         # no sort of millions of URL strings; AQE still handles skew/spill
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # whole-stage-codegen methods between ~8 KB of bytecode (the JVM
+        # JIT's DontCompileHugeMethods limit) and Spark's 64 KB fallback
+        # ceiling run in the JVM *bytecode interpreter* — measured 33×
+        # slower than per-operator codegen on the admission filter chain
+        # (105 s → 3.2 s per 16M rows at 16 cores). Cap generated methods
+        # at the JIT limit so oversized stages fall back to per-operator
+        # codegen (small, JIT-compiled classes) instead.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # image rows can be multi-MB: keep Arrow batches small so a batch of
         # binary payloads fits comfortably in a python worker
