@@ -36,19 +36,28 @@ def search(
 
 
 def search_indexed(
-    spark: SparkSession, index_path: str, query: str, buckets: int = 16
+    spark: SparkSession, index_path: str, query: str, buckets: int = 16,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Term lookup against the PERSISTED index (S9 + J7/A6/O3): the terms'
     crc32 buckets are computed driver-side (``bucket_of_term``), so the
     parquet scan carries a static ``bucket IN (...)`` partition filter —
     only the term buckets' files are ever opened, the reference's
     index-vs-full-scan latency story (report/main.tex:105-118) at Spark
-    partition granularity."""
+    partition granularity.
+
+    ``index_df``: pass ``read_index(spark, path)`` opened ONCE for a
+    lookup service — re-opening per query re-lists files and re-reads
+    footers on the driver (~60 ms here), which the reference's held-open
+    SQLite connection does not pay either. No row data is cached; every
+    lookup still scans the pruned parquet buckets."""
     from webcrawler_spark.index.build import bucket_of_term, read_index
 
     terms = [t for t in query.lower().split(" ") if t]
     bucket_ids = sorted({bucket_of_term(t, buckets) for t in terms})
-    postings = read_index(spark, index_path).filter(
+    if index_df is None:
+        index_df = read_index(spark, index_path)
+    postings = index_df.filter(
         F.col("bucket").isin(bucket_ids) & F.col("word").isin(terms)
     )
     # literal isin, NOT the J7 broadcast join: a lookup's terms are a
