@@ -95,3 +95,19 @@ def test_bloom_crawl_matches_simulator(spark, tmp_path_factory):
     epages = {(r["url"], r["page_type_code"]) for r in eng.pages_df().collect()}
     spages = {(u, v["page_type_code"]) for u, v in sim.pages.items()}
     assert epages == spages
+
+
+def test_parquet_input_round_equals_synth(spark, tmp_path_factory):
+    """run_round_kernel over parquet-materialized inputs (the timed bench
+    shape — see kernel.py header) returns the same counts as the
+    synth-fused form: materialization must be a pure I/O change."""
+    from webcrawler_spark.crawl.kernel import (
+        materialize_round_inputs, run_round_kernel)
+
+    n = 100_000
+    root = str(tmp_path_factory.mktemp("kernel_inputs"))
+    materialize_round_inputs(spark, root, n, n // 2, n // 4, n_files=8)
+    r_pq = run_round_kernel(spark, n, n // 2, n // 4, input_root=root)
+    r_syn = run_round_kernel(spark, n, n // 2, n // 4)
+    assert r_pq == r_syn
+    assert r_pq["n_admitted"] > 0 and r_pq["n_duplicates"] > 0
