@@ -39,7 +39,7 @@ from webcrawler_spark.functions.text import (
 )
 from webcrawler_spark.index.build import build_postings
 from webcrawler_spark.index.search import search as _search
-from webcrawler_spark.similarity.ann import brute_force_topk
+from webcrawler_spark.similarity.ann import brute_force_topk, ivf_topk
 from webcrawler_spark.streaming.events import sessionize, tumbling_counts
 from webcrawler_spark.tables import load
 
@@ -395,6 +395,15 @@ def _q_ann_topk(spark, sf):
     return brute_force_topk(vecs, queries, k=5)
 
 
+def _q_ivf_topk(spark, sf):
+    # IVF-flat ANN scale path: deterministic sampled centroids (lowest-id
+    # vectors), nearest-cell assignment, nprobe=2 cell search — the
+    # second bucketed ANN family next to sign-LSH (similarity/ann.py)
+    vecs = load(spark, sf, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 3)
+    return ivf_topk(vecs, queries, k=5, n_cells=8, nprobe=2)
+
+
 def _q_tumbling(spark, sf):
     # streaming-analog tumbling window aggregation
     return tumbling_counts(load(spark, sf, "events"), minutes=60)
@@ -599,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
         "tumbling_counts": _q_tumbling,
         "sessionize": _q_sessionize,
         "url_canonicalize": _q_url_canonicalize,
@@ -838,6 +848,36 @@ def oracle_sql() -> dict[str, str]:
                        round(list_dot_product(q.v, c.v) /
                              (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
                 FROM q JOIN v c ON c.vec_id <> q.vec_id
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM ranked
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "ivf_topk": """
+            WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+            ), cents AS (
+                SELECT vec_id AS cid, v AS centroid FROM v WHERE vec_id < 8
+            ), cassign AS (
+                SELECT v.vec_id, v.v, c.cid,
+                       round(list_dot_product(v.v, c.centroid) /
+                             (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS ccos
+                FROM v CROSS JOIN cents c
+            ), cranked AS (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
+                FROM cassign
+            ), corpus AS (
+                SELECT vec_id AS neighbor_id, v AS cv, cid AS cell FROM cranked WHERE crank = 1
+            ), probes AS (
+                SELECT vec_id AS query_id, v AS qv, cid AS cell FROM cranked
+                WHERE crank <= 2 AND vec_id < 3
+            ), scored AS (
+                SELECT p.query_id, c.neighbor_id,
+                       round(list_dot_product(p.qv, c.cv) /
+                             (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+                FROM probes p JOIN corpus c ON c.cell = p.cell AND c.neighbor_id <> p.query_id
             ), ranked AS (
                 SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
                 FROM scored

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
     "ann_topk",
+    "ivf_topk",
     "tumbling_counts",
     "sessionize",
     "url_canonicalize",

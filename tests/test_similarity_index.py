@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from webcrawler_spark.index.build import build_postings, vocabulary
 from webcrawler_spark.index.search import search, snippets
-from webcrawler_spark.similarity.ann import brute_force_topk, lsh_topk
+from webcrawler_spark.similarity.ann import brute_force_topk, ivf_topk, lsh_topk
 from webcrawler_spark.functions.text import STOPWORDS_EN
 
 
@@ -62,6 +62,37 @@ def test_lsh_topk_precision(vecs):
         a, b = m[r["query_id"]], m[r["neighbor_id"]]
         c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(r["cos"] - round(c, 6)) < 1e-5  # precision 1: exact cosines
+
+
+def test_ivf_topk_precision_and_cells(vecs):
+    """IVF-flat: every returned cosine is exact (precision 1), ranks are
+    dense per query, and every neighbor really lives in one of the
+    query's nprobe probed cells (the IVF contract)."""
+    qids = [0, 1, 2]
+    queries = vecs.filter(F.col("vec_id").isin(qids))
+    got = ivf_topk(vecs, queries, k=5, n_cells=8, nprobe=2).collect()
+    pd = vecs.toPandas()
+    m = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in pd.itertuples()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cents = {cid: m[cid] for cid in range(8)}
+
+    def cell_ranks(v):
+        sc = sorted(((round(cos(v, c), 6), cid) for cid, c in cents.items()),
+                    key=lambda x: (-x[0], x[1]))
+        return [cid for _, cid in sc]
+
+    by_q = {}
+    for r in got:
+        a, b = m[r["query_id"]], m[r["neighbor_id"]]
+        assert abs(r["cos"] - round(cos(a, b), 6)) < 1e-5  # exact cosine
+        assert cell_ranks(b)[0] in cell_ranks(a)[:2]       # neighbor in a probed cell
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    assert set(by_q) == set(qids)
 
 
 # --------------------------------------------------------------------------

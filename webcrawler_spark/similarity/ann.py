@@ -6,11 +6,22 @@
   broadcast-sized — the corpus side streams with no shuffle until the
   final per-query top-k (TakeOrderedAndProject-shaped).
 
-* ``lsh_topk`` — the scale path: random-hyperplane signatures (Charikar
+* ``lsh_topk`` — a scale path: random-hyperplane signatures (Charikar
   SimHash for cosine, public technique) bucket the corpus; each query
   probes only its own bucket (and optional multi-probe neighbors at
   Hamming distance 1). Recall < 1 by construction; any returned neighbor
   carries its *exact* cosine, so precision is 1.
+
+* ``ivf_topk`` — the second scale path (IVF-flat): a deterministic
+  coarse quantizer (centroids = the K lowest-id corpus vectors — a
+  seedless sample, so the DuckDB oracle can mirror it exactly; a
+  production build would Lloyd-refine them, which only moves the cell
+  boundaries, not the algorithm) assigns every vector to its
+  nearest-centroid cell; a query probes its ``nprobe`` nearest cells and
+  brute-forces only those. Assignment is one broadcast of K centroids +
+  a per-row argmax (the classic IVF build cost, N·K dot products, no
+  shuffle); search touches ~nprobe/K of the corpus. Same contract as
+  LSH: recall < 1, returned cosines exact.
 
 Hyperplanes are deterministic (seed 42) module-level constants, dimension-
 agnostic via modular indexing; generated once, embedded in closures as
@@ -63,6 +74,56 @@ def brute_force_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: (query_id, neighbor_id, cos, rank ≤ k) searching only
+    the query's ``nprobe`` nearest centroid cells (see module docstring).
+
+    Cell assignment ranks centroids by ``round(cos, 6)`` DESC, centroid id
+    ASC — rounding BEFORE ranking keeps the argmax stable across engines
+    (raw doubles can order differently in the last ulp)."""
+    cents = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+    )
+
+    def assign(df, idn, vn, keep):
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        scored = (
+            df.select(F.col(id_col).alias(idn), v.alias(vn))
+            .join(F.broadcast(cents))
+            .withColumn("ccos", F.round(cosine(F.col(vn), F.col("centroid")), 6))
+        )
+        w = Window.partitionBy(idn).orderBy(F.desc("ccos"), F.asc("cid"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= keep)
+            .select(idn, vn, F.col("cid").alias("cell"))
+        )
+
+    c = assign(corpus, "neighbor_id", "cv", 1)
+    q = assign(queries, "query_id", "qv", nprobe)
+    scored = (
+        c.join(F.broadcast(q), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
