@@ -348,6 +348,22 @@ def _search_latency() -> dict:
         per_query[q] = min(walls)
     for k, v in prev.items():
         spark.conf.set(k, v)
+    # the driver-side Arrow lookup service (IndexLookupService): same
+    # persisted index, same ranking (equality-tested), no Spark job per
+    # query — the apples-to-apples peer of the reference's held-open
+    # SQLite connection. Best-of-3 warm per query.
+    from webcrawler_spark.index.search import IndexLookupService
+
+    svc = IndexLookupService(idx_root, buckets=16)
+    svc.lookup("podatki")  # warm (open datasets, parse footers)
+    local_ms = {}
+    for q in SEARCH_QUERIES:
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            svc.lookup(q)
+            walls.append(round((time.time() - t0) * 1000, 2))
+        local_ms[q] = min(walls)
     # one manual-scan anchor (the reference's 'manual checking' ~92s path)
     from webcrawler_spark.functions.stopwords_sl import STOPWORDS_SL_FULL
     from webcrawler_spark.functions.text import tokens_unicode
@@ -363,10 +379,11 @@ def _search_latency() -> dict:
         "metric": "persisted-index term-lookup latency, real 1,416-page corpus",
         "index_build_s": index_build_s,
         "indexed_ms": per_query,
+        "indexed_local_ms": local_ms,
         "manual_scan_ms": {SEARCH_QUERIES[0]: scan_ms},
         "reference_indexed_ms": {"min": 4, "max": 140},
         "reference_scan_ms": 92085,
-        "note": "Spark actions carry ~100-300ms fixed scheduler overhead vs SQLite; compare the indexed/scan ratio and see BASELINE.md",
+        "note": "indexed_ms is the Spark-action path (~100-300ms fixed scheduler overhead per action vs SQLite); indexed_local_ms is the driver-side Arrow lookup service over the SAME persisted index (the held-open-connection peer of the reference's SQLite path, equality-tested); see BASELINE.md",
     }
 
 

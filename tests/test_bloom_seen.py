@@ -111,3 +111,109 @@ def test_parquet_input_round_equals_synth(spark, tmp_path_factory):
     r_syn = run_round_kernel(spark, n, n // 2, n // 4)
     assert r_pq == r_syn
     assert r_pq["n_admitted"] > 0 and r_pq["n_duplicates"] > 0
+
+
+def test_sharded_cuckoo_anti_join_exact_equality(spark):
+    """The cuckoo sidecar (the north_rule's other named layout) satisfies
+    the same contract as the Bloom ones: anti_join_with_bloom == plain
+    LEFT ANTI, and no false negatives (every member probes True)."""
+    from webcrawler_spark.functions.cuckoo import build_sharded_cuckoo
+
+    cand, seen = _cand_seen(spark)
+    sidecar = build_sharded_cuckoo(seen, "url", n_shards=13)
+    try:
+        plain = {tuple(r) for r in cand.join(seen, "url", "left_anti").collect()}
+        routed = {
+            tuple(r) for r in anti_join_with_bloom(cand, seen, "url", sidecar).collect()
+        }
+        assert routed == plain and len(plain) > 0
+        n_members = seen.count()
+        n_true = (
+            seen.withColumn("m", sidecar.probe(F.col("url"))).filter("m").count()
+        )
+        assert n_true == n_members
+        # FPR sanity: non-members mostly probe False (16-bit fingerprints,
+        # theoretical ~2*4/2^16; allow generous slack)
+        non = cand.join(seen, "url", "left_anti").select("url")
+        n_non = non.count()
+        n_fp = non.withColumn("m", sidecar.probe(F.col("url"))).filter("m").count()
+        assert n_fp <= max(5, n_non * 0.01)
+    finally:
+        sidecar.destroy()
+
+
+def test_sharded_cuckoo_delete(spark):
+    """Deletion — the capability Bloom lacks (re-crawl eviction): deleted
+    URLs probe False again while every remaining member still probes True."""
+    from webcrawler_spark.functions.cuckoo import build_sharded_cuckoo
+
+    _, seen = _cand_seen(spark)
+    sidecar = build_sharded_cuckoo(seen, "url", n_shards=7)
+    try:
+        evict = seen.filter(F.xxhash64("url") % 5 == 0)
+        keep = seen.filter(F.xxhash64("url") % 5 != 0)
+        n_evict = evict.count()
+        assert n_evict > 0
+        removed = sidecar.delete(evict, "url")
+        assert removed == n_evict
+        # no false negatives among the survivors
+        n_keep = keep.count()
+        n_true = keep.withColumn("m", sidecar.probe(F.col("url"))).filter("m").count()
+        assert n_true == n_keep
+        # evicted rows are gone (up to fingerprint-collision survivors,
+        # which for this deterministic fixture are zero)
+        n_still = evict.withColumn("m", sidecar.probe(F.col("url"))).filter("m").count()
+        assert n_still == 0
+    finally:
+        sidecar.destroy()
+
+
+@pytest.mark.slow
+def test_cuckoo_crawl_matches_simulator(spark, tmp_path_factory):
+    """End-to-end with the cuckoo sidecar selected: identical seen set and
+    page census to the simulator (prefilter layout must not change results)."""
+    wg, robots = make_webgraph(n_hosts=5, pages_per_host_base=6)
+    sim = simulate(wg, robots, list(SEED_URLS), max_rounds=120)
+    root = str(tmp_path_factory.mktemp("cuckoo_crawl"))
+    eng = CrawlEngine(
+        spark,
+        spark.createDataFrame(wg),
+        spark.createDataFrame(robots),
+        list(SEED_URLS),
+        CrawlConfig(store_root=root, max_rounds=120, checkpoint_every=5,
+                    collect_metrics=False, use_bloom_prefilter=True,
+                    seen_filter="cuckoo"),
+    )
+    eng.run()
+    eseen = {r["url"] for r in eng.seen_df().collect()}
+    assert eseen == sim.seen
+    epages = {(r["url"], r["page_type_code"]) for r in eng.pages_df().collect()}
+    spages = {(u, v["page_type_code"]) for u, v in sim.pages.items()}
+    assert epages == spages
+
+
+def test_cuckoo_table_properties_no_spark():
+    """Pure-numpy property test of the cuckoo table: across seeds and
+    sizes, no false negatives (incl. kick-chain victim-cache entries),
+    FPR near the 2b/2^f theory, duplicate inserts collapse to one copy."""
+    import numpy as np
+
+    from webcrawler_spark.functions.cuckoo import (
+        _SLOTS, _contains, _insert_all, _next_pow2)
+
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        for n in (100, 5000, 100000):
+            per = max(_SLOTS, int(n * 1.2) + _SLOTS)
+            m = _next_pow2((per + _SLOTS - 1) // _SLOTS)
+            table = np.zeros((m, _SLOTS), dtype=np.uint16)
+            hv = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+            stash = np.array(_insert_all(table, hv), dtype=np.int64)
+            assert _contains(table, stash, hv).all()
+            other = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+            fresh = other[~np.isin(other, hv)]
+            assert _contains(table, stash, fresh).mean() < 0.01
+    table = np.zeros((_next_pow2(64), _SLOTS), dtype=np.uint16)
+    hv = np.array([123456789] * 50 + [987654321] * 50, dtype=np.uint64)
+    stash = np.array(_insert_all(table, hv), dtype=np.int64)
+    assert (table != 0).sum() + len(stash) == 2

@@ -213,3 +213,13 @@ def test_search_indexed_matches_in_memory(spark, sf_dir, tmp_path):
     mem = [(r["doc"], r["score"]) for r in search(spark, p, q).collect()]
     idx = [(r["doc"], r["score"]) for r in search_indexed(spark, root, q, buckets=8).collect()]
     assert idx == mem and len(idx) > 0
+    # the driver-side Arrow lookup service (interactive path, no Spark job)
+    # returns the identical scored ranking from the same persisted index
+    from webcrawler_spark.index.search import IndexLookupService, search_indexed_local
+
+    svc = IndexLookupService(root, buckets=8)
+    assert svc.lookup(q) == mem
+    assert svc.lookup(q) == mem  # warm handle, same result
+    assert search_indexed_local(root, q, buckets=8) == mem
+    assert svc.lookup("") == []
+    assert svc.lookup("zqxjkwv_notaword") == []

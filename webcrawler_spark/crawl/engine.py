@@ -103,6 +103,11 @@ class CrawlConfig:
                                    # tiny fixture scale the Arrow round-trip
                                    # per sub-step outweighs the join savings,
                                    # hence default off
+    seen_filter: str = "bloom"     # sidecar layout when use_bloom_prefilter:
+                                   # "bloom" (ShardedBloomSidecar) or
+                                   # "cuckoo" (ShardedCuckooSidecar — same
+                                   # probe contract, supports eviction;
+                                   # see functions/cuckoo.py)
     eager_state_threshold: int = 0  # sub-steps picking >= this many URLs
                                    # truncate state immediately. seen/
                                    # visited/content_map are SELF-REFERENTIAL
@@ -724,10 +729,14 @@ class CrawlEngine:
             # path (worker-side shard caches key on path, so stale shards
             # age out of the LRU naturally).
             from webcrawler_spark.functions.bloom import build_sharded_bloom
+            from webcrawler_spark.functions.cuckoo import build_sharded_cuckoo
 
             if self._sidecar is not None:
                 self._sidecar.destroy()
-            self._sidecar = build_sharded_bloom(self.seen, "url", fpp=0.01)
+            if self.cfg.seen_filter == "cuckoo":
+                self._sidecar = build_sharded_cuckoo(self.seen, "url")
+            else:
+                self._sidecar = build_sharded_bloom(self.seen, "url", fpp=0.01)
             self._seen_new = self.spark.createDataFrame([], "url string")
 
     # ------------------------------------------------------------------

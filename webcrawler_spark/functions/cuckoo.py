@@ -1,0 +1,337 @@
+"""Partitioned cuckoo-filter seen-set sidecar — the north_rule's other
+named layout ("partitioned Bloom/cuckoo-filter URL-seen set"), sibling of
+``functions/bloom.py``'s ``ShardedBloomSidecar`` with the same probe
+contract (``probe(url_col) -> BooleanType`` Arrow UDF), so
+``anti_join_with_bloom`` accepts either.
+
+Why a cuckoo filter at all (Fan, Andersen, Kaminsky, Mitzenmacher,
+"Cuckoo Filter: Practically Better Than Bloom", CoNEXT 2014 — public):
+it supports **deletion**, which a Bloom filter cannot. The crawl engine's
+seen set is insert-only per round (the Bloom sidecar stays the default),
+but re-crawl policies evict URLs whose TTL expired so they become
+fetchable again — with Bloom that forces a full sidecar rebuild; with
+cuckoo it is a per-shard fingerprint removal (``delete``).
+
+Layout per shard: ``m`` buckets × 4 slots of 16-bit fingerprints
+(0 = empty), ``m`` a power of two so the partner bucket
+``i2 = i1 XOR h(fp)`` is an involution (lookup/delete find an item from
+either bucket). Semantics contract is the same as Bloom's (SURVEY §4):
+the filter is a *prefilter*; possible members are confirmed by the exact
+anti-join, so FPR (≈ 2·b / 2^f ≈ 0.012% at b=4, f=16) affects cost,
+never results. **No false negatives ever**: when a kick chain exhausts
+MAX_KICKS, the displaced (bucket, fingerprint) entry goes to a stash
+(the standard cuckoo 'victim cache') checked at probe time —
+sized-with-headroom shards keep it empty or near-empty.
+
+Memory math at 10^10 URLs, K = 4096 shards: buckets are sized at
+n·1.2/4 rounded up to a power of two, so load ∈ [0.42, 0.83] → bytes =
+m·4·2 ≈ 10^10·1.2·2/4096 per shard ≈ **5.9 MB/shard** (≤ 2× after pow2
+rounding), ~24-48 GB total on shared storage, resident per executor
+≤ LRU_cap(8) × shard size ≈ 47-94 MB.
+(Bloom at 1% FPR is half the space but admits ~80× more confirm-join
+traffic and cannot delete; pick per workload.)
+
+Build is one shuffle of (shard, hash) pairs — identical dataflow to
+``build_sharded_bloom``; per shard the bulk insert is vectorized
+(rank-based placement into i1 then i2 via argsort/cumcount; only the
+residual overflow walks the classic kick loop), and each shard publishes
+one ``.npz`` via tmp-file + atomic rename.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections import OrderedDict
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from webcrawler_spark.functions.bloom import shard_of
+
+_SLOTS = 4
+_MAX_KICKS = 200
+# Knuth multiplicative hash of the fingerprint for the partner bucket
+_FP_MIX = np.uint64(0x5BD1E995)
+
+
+def _fp_of(hv: np.ndarray) -> np.ndarray:
+    """16-bit nonzero fingerprint from the top bits of xxhash64."""
+    fp = (hv >> np.uint64(48)).astype(np.uint16)
+    fp[fp == 0] = 1
+    return fp
+
+
+def _i1_of(hv: np.ndarray, m: int) -> np.ndarray:
+    return (hv & np.uint64(m - 1)).astype(np.int64)
+
+
+def _i2_of(i1: np.ndarray, fp: np.ndarray, m: int) -> np.ndarray:
+    mix = (fp.astype(np.uint64) * _FP_MIX) & np.uint64(m - 1)
+    return (i1.astype(np.uint64) ^ mix).astype(np.int64)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
+
+
+def _stash_code(bucket: np.ndarray, fp: np.ndarray, m: int) -> np.ndarray:
+    """Canonical stash entry for a (bucket, fingerprint): the SMALLER of
+    the entry's two home buckets << 16 | fp. The stash must store
+    (bucket, fp) — not the original item's raw hash — because when the
+    kick loop exhausts, the fingerprint left in hand belongs to some
+    *evicted victim*, whose original key is unknown (the classic cuckoo
+    'victim cache'). Canonicalizing on min(i1, i2) lets a lookup compute
+    the same code from either side of the involution."""
+    partner = _i2_of(bucket, fp.astype(np.uint16), m)
+    bmin = np.minimum(bucket, partner)
+    return bmin * np.int64(65536) + fp.astype(np.int64)
+
+
+def _bulk_place(table: np.ndarray, idx: np.ndarray, fp: np.ndarray) -> np.ndarray:
+    """Vectorized one-round placement: for each (bucket, fp) try the free
+    slots of ``idx``'s bucket by within-bucket rank. Returns the boolean
+    placed-mask; callers retry the rest against the partner bucket or the
+    kick loop. Duplicate (bucket, fp) pairs are pre-collapsed by callers."""
+    if len(idx) == 0:
+        return np.zeros(0, dtype=bool)
+    occ = (table != 0).sum(axis=1).astype(np.int64)
+    order = np.argsort(idx, kind="stable")
+    si = idx[order]
+    # rank of each row within its bucket group
+    boundary = np.ones(len(si), dtype=bool)
+    boundary[1:] = si[1:] != si[:-1]
+    grp_start = np.flatnonzero(boundary)
+    rank = np.arange(len(si)) - np.repeat(grp_start, np.diff(np.append(grp_start, len(si))))
+    slot = occ[si] + rank
+    ok = slot < _SLOTS
+    table[si[ok], slot[ok]] = fp[order][ok]
+    placed = np.zeros(len(idx), dtype=bool)
+    placed[order[ok]] = True
+    return placed
+
+
+def _insert_all(table: np.ndarray, hv: np.ndarray) -> list[int]:
+    """Bulk insert: i1 round, i2 round, then scalar kicks for the rest.
+    Returns the stash codes (``_stash_code``) of entries that could not
+    be placed — NOTE these are victim-cache (bucket, fp) entries, which
+    after an exhausted kick chain belong to a displaced victim, not
+    necessarily the item that triggered the chain."""
+    m = table.shape[0]
+    fp = _fp_of(hv)
+    i1 = _i1_of(hv, m)
+    # a (bucket, fp) pair already representable once is a duplicate insert —
+    # the filter is a set of fingerprints, keep one copy (delete removes one)
+    _, uniq = np.unique(np.stack([i1, fp.astype(np.int64)]), axis=1, return_index=True)
+    fp, i1 = fp[uniq], i1[uniq]
+    placed = _bulk_place(table, i1, fp)
+    fp2 = fp[~placed]
+    i2 = _i2_of(i1[~placed], fp2, m)
+    placed2 = _bulk_place(table, i2, fp2)
+    stash: list[int] = []
+    for f0, i0 in zip(fp2[~placed2], i2[~placed2]):
+        cur, i = np.uint16(f0), int(i0)
+        for _ in range(_MAX_KICKS):
+            row = table[i]
+            free = np.flatnonzero(row == 0)
+            if len(free):
+                table[i, free[0]] = cur
+                cur = None
+                break
+            # evict a pseudo-random victim (deterministic: slot from fp)
+            victim = int(cur) % _SLOTS
+            cur, table[i, victim] = row[victim], cur
+            i = int(_i2_of(np.array([i]), np.array([cur], dtype=np.uint16), m)[0])
+        if cur is not None:
+            stash.append(int(_stash_code(
+                np.array([i]), np.array([cur], dtype=np.uint16), m)[0]))
+    return stash
+
+
+def _contains(table: np.ndarray, stash: np.ndarray, hv: np.ndarray) -> np.ndarray:
+    m = table.shape[0]
+    fp = _fp_of(hv)
+    i1 = _i1_of(hv, m)
+    i2 = _i2_of(i1, fp, m)
+    hit = (table[i1] == fp[:, None]).any(axis=1)
+    hit |= (table[i2] == fp[:, None]).any(axis=1)
+    if len(stash):
+        hit |= np.isin(_stash_code(i1, fp, m), stash)
+    return hit
+
+
+_CUCKOO_CACHE: OrderedDict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = OrderedDict()
+_CUCKOO_CACHE_MAX = 8
+
+
+def _shard_file(path: str, shard: int) -> str:
+    return os.path.join(path, f"cuckoo_{shard:06d}.npz")
+
+
+def _load_shard(path: str, shard: int, m: int) -> tuple[np.ndarray, np.ndarray]:
+    key = (path, shard)
+    hit = _CUCKOO_CACHE.get(key)
+    if hit is not None:
+        _CUCKOO_CACHE.move_to_end(key)
+        return hit
+    f = _shard_file(path, shard)
+    if os.path.exists(f):
+        with np.load(f) as z:
+            val = (z["table"], z["stash"])
+    else:
+        val = (np.zeros((m, _SLOTS), dtype=np.uint16), np.zeros(0, dtype=np.int64))
+    _CUCKOO_CACHE[key] = val
+    while len(_CUCKOO_CACHE) > _CUCKOO_CACHE_MAX:
+        _CUCKOO_CACHE.popitem(last=False)
+    return val
+
+
+def _save_shard(path: str, shard: int, table: np.ndarray, stash: np.ndarray) -> None:
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+    with os.fdopen(fd, "wb") as fh:
+        np.savez(fh, table=table, stash=stash)
+    os.replace(tmp, _shard_file(path, shard))
+    _CUCKOO_CACHE.pop((path, shard), None)
+
+
+class ShardedCuckooSidecar:
+    """K per-shard cuckoo tables on shared storage, probed lazily —
+    drop-in alternative to ``ShardedBloomSidecar`` (same ``probe``
+    contract; additionally supports ``delete``)."""
+
+    def __init__(self, path: str, n_shards: int, m_buckets: int):
+        self.path = path
+        self.n_shards = n_shards
+        self.m_buckets = m_buckets  # buckets per shard (power of two)
+
+    def might_contain(self, hash_col: Column, shard_col: Column) -> Column:
+        path, m = self.path, self.m_buckets
+
+        @F.pandas_udf(T.BooleanType())
+        def _mc(h: pd.Series, s: pd.Series) -> pd.Series:
+            hv = h.to_numpy(dtype=np.int64).view(np.uint64)
+            sv = s.to_numpy(dtype=np.int64)
+            out = np.zeros(len(hv), dtype=bool)
+            for shard in np.unique(sv):
+                table, stash = _load_shard(path, int(shard), m)
+                mask = sv == shard
+                out[mask] = _contains(table, stash, hv[mask])
+            return pd.Series(out)
+
+        return _mc(hash_col, shard_col)
+
+    def probe(self, url_col: Column) -> Column:
+        return self.might_contain(
+            F.xxhash64(url_col), shard_of(url_col, self.n_shards)
+        )
+
+    def delete(self, df: DataFrame, col: str = "url") -> int:
+        """Remove the rows' fingerprints (one copy each) from their
+        shards — the re-crawl eviction path Bloom cannot serve. Runs as a
+        shard-partitioned job (each shard file rewritten by exactly one
+        task, tmp + atomic rename). Returns #fingerprints removed."""
+        path, n_shards, m = self.path, self.n_shards, self.m_buckets
+
+        def drop(batches):
+            removed = 0
+            by_shard: dict[int, list[np.ndarray]] = {}
+            for pdf in batches:
+                for s, grp in pdf.groupby("s"):
+                    by_shard.setdefault(int(s), []).append(
+                        grp["h"].to_numpy(dtype=np.int64).view(np.uint64))
+            for s, parts in by_shard.items():
+                hv = np.concatenate(parts)
+                table, stash = _load_shard(path, s, m)
+                table = table.copy()
+                fp = _fp_of(hv)
+                i1 = _i1_of(hv, m)
+                # entries resident in the stash leave via the stash ONLY
+                # (one occurrence per deleted key) — stash codes were never
+                # placed in the table, and the fingerprint could alias
+                # another URL's table copy
+                if len(stash):
+                    codes = _stash_code(i1, fp, m)
+                    stash_list = stash.tolist()
+                    dropped = np.zeros(len(hv), dtype=bool)
+                    for j, c in enumerate(codes):
+                        try:
+                            stash_list.remove(int(c))
+                        except ValueError:
+                            continue
+                        dropped[j] = True
+                        removed += 1
+                    stash = np.array(stash_list, dtype=np.int64)
+                    hv = hv[~dropped]
+                    fp, i1 = fp[~dropped], i1[~dropped]
+                i2 = _i2_of(i1, fp, m)
+                for f, a, b in zip(fp, i1, i2):
+                    for i in (a, b):
+                        sl = np.flatnonzero(table[i] == f)
+                        if len(sl):
+                            table[i, sl[0]] = 0
+                            removed += 1
+                            break
+                _save_shard(path, s, table, stash)
+            yield pd.DataFrame({"n": [removed]})
+
+        out = (
+            df.select(
+                shard_of(F.col(col), n_shards).alias("s"),
+                F.xxhash64(F.col(col)).alias("h"),
+            )
+            .repartition(n_shards, "s")
+            .mapInPandas(drop, schema="n long")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        return int(out[0]["n"] or 0)
+
+    def destroy(self):
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+def build_sharded_cuckoo(
+    df: DataFrame,
+    col: str = "url",
+    path: str | None = None,
+    n_shards: int | None = None,
+    expected_items: int | None = None,
+) -> ShardedCuckooSidecar:
+    """Distributed partitioned cuckoo build — same one-shuffle dataflow as
+    ``build_sharded_bloom``: (shard, hash) pairs co-locate under a
+    shard-keyed repartition; each task bulk-inserts its shards' hashes and
+    publishes one ``.npz`` per shard atomically."""
+    spark = df.sparkSession
+    if path is None:
+        path = tempfile.mkdtemp(prefix="cuckoo_sidecar_")
+    os.makedirs(path, exist_ok=True)
+    if n_shards is None:
+        n_shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if expected_items is None:
+        expected_items = df.count()
+    per_shard = max(_SLOTS, int(expected_items / n_shards * 1.2) + _SLOTS)
+    m = _next_pow2((per_shard + _SLOTS - 1) // _SLOTS)
+
+    def write_shards(batches):
+        by_shard: dict[int, list[np.ndarray]] = {}
+        for pdf in batches:
+            for s, grp in pdf.groupby("s"):
+                by_shard.setdefault(int(s), []).append(
+                    grp["h"].to_numpy(dtype=np.int64).view(np.uint64))
+        for s, parts in by_shard.items():
+            hv = np.concatenate(parts)
+            table = np.zeros((m, _SLOTS), dtype=np.uint16)
+            stash = np.array(_insert_all(table, hv), dtype=np.int64)
+            _save_shard(path, s, table, stash)
+        yield pd.DataFrame({"s": list(by_shard), "n": [1] * len(by_shard)})
+
+    data = df.select(
+        shard_of(F.col(col), n_shards).alias("s"),
+        F.xxhash64(F.col(col)).alias("h"),
+    ).repartition(n_shards, "s")
+    data.mapInPandas(write_shards, schema="s int, n int").count()
+    return ShardedCuckooSidecar(path, n_shards, m)

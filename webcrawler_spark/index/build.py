@@ -72,6 +72,12 @@ def write_index(postings: DataFrame, path: str, buckets: int = 16) -> None:
         postings.withColumn(
             "bucket", F.pmod(F.crc32(F.col("word").cast("binary")), F.lit(buckets))
         )
+        # word-sorted within each output file so parquet row-group min/max
+        # stats on `word` are tight: a term lookup then prunes ROW GROUPS
+        # inside the pruned bucket, not just the bucket directory — at
+        # 100 TB a bucket holds many row groups and this is what keeps a
+        # point lookup at a few MB of IO (local sort, no shuffle)
+        .sortWithinPartitions("bucket", "word")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{path}/postings")

@@ -72,6 +72,88 @@ def search_indexed(
     )
 
 
+class IndexLookupService:
+    """Interactive term lookups over the persisted S9 index, served
+    driver-side with Arrow — no Spark job per query.
+
+    Why this is the right 100-TB shape: the index is BUILT by Spark
+    (distributed groupBy + bucketed parquet write), but a point lookup
+    touches exactly the terms' crc32 bucket directories and, inside them,
+    only row groups whose ``word`` min/max statistics overlap the terms
+    (``write_index`` sorts by word within files precisely so those stats
+    are tight). That is a few MB of IO — launching a distributed job for
+    it pays ~100-300 ms of fixed scheduler latency per action (measured
+    in bench.py), which the reference's held-open SQLite connection
+    (run-sqlite-search.py:24-55) does not pay. Serving lookups from one
+    node against shared storage is the standard index-serving split:
+    ``search_indexed`` (the Spark path) remains for batch scoring and for
+    term sets that are themselves data.
+
+    The service keeps one ``pyarrow.dataset`` handle open per bucket
+    (file listing + parquet footers parsed once, the SQLite-connection
+    analog); row DATA is never cached — every lookup re-reads the pruned
+    row groups.
+    """
+
+    def __init__(self, index_path: str, buckets: int = 16):
+        self._root = f"{index_path}/postings"
+        self._buckets = buckets
+        self._ds: dict[int, object] = {}
+
+    def _bucket_ds(self, bucket: int):
+        import os
+
+        import pyarrow.dataset as pads
+
+        if bucket not in self._ds:
+            path = f"{self._root}/bucket={bucket}"
+            # a bucket no indexed word hashes into is never written
+            self._ds[bucket] = (
+                pads.dataset(path, format="parquet") if os.path.isdir(path) else None
+            )
+        return self._ds[bucket]
+
+    def lookup(self, query: str) -> list[tuple]:
+        """[(doc, score)] — score = Σ frequency over matched terms,
+        descending score then ascending doc: exactly ``search_indexed``
+        (A6/O3), equality-tested in test_similarity_index.py."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from webcrawler_spark.index.build import bucket_of_term
+
+        terms = [t for t in query.lower().split(" ") if t]
+        if not terms:
+            return []
+        by_bucket: dict[int, list[str]] = {}
+        for t in terms:
+            by_bucket.setdefault(bucket_of_term(t, self._buckets), []).append(t)
+        parts = []
+        for b, ts in sorted(by_bucket.items()):
+            ds = self._bucket_ds(b)
+            if ds is not None:
+                parts.append(ds.to_table(
+                    columns=["doc", "frequency"],
+                    filter=pc.field("word").isin(ts),
+                ))
+        if not parts:
+            return []
+        hits = pa.concat_tables(parts)
+        if hits.num_rows == 0:
+            return []
+        agg = hits.group_by("doc").aggregate([("frequency", "sum")])
+        agg = agg.sort_by([("frequency_sum", "descending"), ("doc", "ascending")])
+        return list(zip(
+            agg.column("doc").to_pylist(),
+            (int(s) for s in agg.column("frequency_sum").to_pylist()),
+        ))
+
+
+def search_indexed_local(index_path: str, query: str, buckets: int = 16) -> list[tuple]:
+    """One-shot convenience wrapper over :class:`IndexLookupService`."""
+    return IndexLookupService(index_path, buckets=buckets).lookup(query)
+
+
 def search_scan(docs: DataFrame, query: str,
                 doc_col: str = "doc", text_col: str = "text",
                 stopwords: tuple[str, ...] = STOPWORDS_EN,
