@@ -623,6 +623,27 @@ class CrawlEngine:
             unseen = fresh.unionByName(confirmed)
         else:
             unseen = cand.join(seen_c, "curl", "left_anti")
+        # within-batch redirect-chain seen rule: the reference processes
+        # picks sequentially, marking every redirect hop INCLUDING the
+        # landing seen at chase time (WebCrawler.java:348,353) — before
+        # later picks of the same tick expand their links. So a candidate
+        # is dropped iff some pick with seq <= parent_seq chain-added it
+        # (a pick's own chase precedes its own expansion, hence <=); a
+        # LATER pick's chase must NOT drop it, the sequential reference
+        # would have admitted it first. Cross-sub-step cases are covered
+        # by the end-of-sub-step seen update below. batch_chain is
+        # redirect-sources-of-one-batch sized → broadcast.
+        batch_chain = (
+            pf.select(F.explode("chain").alias("curl"),
+                      F.col("seq").alias("chain_seq"))
+            .groupBy("curl").agg(F.min("chain_seq").alias("chain_seq_min"))
+        )
+        unseen = (
+            unseen.join(F.broadcast(batch_chain), "curl", "left")
+            .filter(F.col("chain_seq_min").isNull()
+                    | (F.col("chain_seq_min") > F.col("parent_seq")))
+            .drop("chain_seq_min")
+        )
         admitted = unseen.select(
             "parent_url", "parent_seq", "pos", F.col("curl").alias("url"),
             F.col("chost").alias("host"))

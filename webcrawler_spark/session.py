@@ -25,8 +25,11 @@ def get_spark(
     """Build (or fetch) a SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
-    On a real cluster, pass ``master=None`` with ``spark-submit`` providing
-    the master URL and this builder leaves it untouched.
+    Under ``spark-submit`` pass ``master=""`` — the builder then leaves the
+    master untouched so the submit command line (master URL, executor
+    count) wins while the tuned SQL confs still apply
+    (tools/submit_crawl.py uses this). ``extra_conf`` layers caller
+    overrides on top of the defaults.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -59,6 +62,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
     if master:
         b = b.master(master)
     spark = b.getOrCreate()
