@@ -76,8 +76,13 @@ def test_fixture_images_schema_and_invariants():
             assert (px == truth).all()
         else:
             assert psnr(truth, px) >= 40.0
-        # stored phash is computed on ground-truth pixels
-        assert phash64(truth) == r["phash"]
+        # stored phash is artifact-anchored: exactly the hash of the
+        # decoded stored bytes (so the per-row invariant is exact for
+        # lossy formats too), and within a few bits of the ground-truth
+        # pixels' hash (perceptual closeness across the lossy encode)
+        assert phash64(px) == r["phash"]
+        dist = bin((phash64(truth) ^ r["phash"]) & ((1 << 64) - 1)).count("1")
+        assert dist == 0 if fmt == "png" else dist <= 8
 
 
 def test_phash_udf_matches_python(spark):

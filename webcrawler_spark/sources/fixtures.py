@@ -339,7 +339,19 @@ def render_image(image_id: str) -> tuple[np.ndarray, int, int, str, str]:
 
 
 def make_images(n: int = 200) -> pd.DataFrame:
-    """The graft payload table, schema per BASELINE.json input_hint."""
+    """The graft payload table, schema per BASELINE.json input_hint.
+
+    ``phash`` is the hash of the STORED ARTIFACT — ``phash64(decode(
+    bytes))`` — not of the pre-encode pixels: for a lossy fmt the two
+    differ by a few DCT-boundary bits on ~7% of images (measured at 16k
+    rows), so hashing the pre-encode pixels makes the per-row invariant
+    ``recompute(decode(bytes)) == phash`` flaky at scale. Anchoring the
+    hash to the decoded artifact is also what a production ingest does:
+    the consumer can only ever decode what was stored. For png the codec
+    is lossless and the two definitions coincide.
+    """
+    from webcrawler_spark.functions.images import decode_image
+
     rows = []
     for i in range(n):
         image_id = f"img{i:010d}"
@@ -352,7 +364,7 @@ def make_images(n: int = 200) -> pd.DataFrame:
             "h": h,
             "fmt": fmt,
             "caption": caption,
-            "phash": phash64(pixels),
+            "phash": phash64(pixels if fmt == "png" else decode_image(data)),
         })
     return pd.DataFrame(rows)
 
