@@ -61,14 +61,17 @@ def test_spark_submit_pyfiles_kill_resume(tmp_path):
     env["PYTHONPATH"] = ""  # the package must come from --py-files alone
     env.pop("SPARK_GRAFT_CPUS", None)
 
-    def run(rounds: int, resume: bool) -> dict:
+    def run(rounds: int, resume: bool, cores: int) -> dict:
+        # the resume run uses a DIFFERENT topology (cores + shuffle
+        # partitions) than the killed run: snapshot state must be
+        # topology-independent, as a resized real cluster requires
         cmd = [
-            submit, "--master", "local[8]", "--driver-memory", "4g",
+            submit, "--master", f"local[{cores}]", "--driver-memory", "4g",
             "--py-files", zip_path,
             os.path.join(REPO, "tools", "submit_crawl.py"),
             "--store", store, "--rounds", str(rounds),
             "--hosts", str(HOSTS), "--pages-base", str(BASE),
-            "--shuffle-partitions", "8",
+            "--shuffle-partitions", str(cores),
         ]
         if resume:
             cmd.append("--resume")
@@ -80,9 +83,10 @@ def test_spark_submit_pyfiles_kill_resume(tmp_path):
         assert stats_lines, (r.stdout[-2000:], r.stderr[-2000:])
         return json.loads(stats_lines[-1])
 
-    s1 = run(KILL_AT, resume=False)  # "kill" mid-crawl
+    s1 = run(KILL_AT, resume=False, cores=8)  # "kill" mid-crawl
     assert s1["visited"] > 0 and s1["master"] == "local[8]"
-    s2 = run(ROUNDS, resume=True)  # resume from the snapshot store, finish
+    # resume from the snapshot store on a resized "cluster", finish
+    s2 = run(ROUNDS, resume=True, cores=4)
     assert s2["resumed"] and s2["trace_rows"] >= s1["visited"]
 
     # oracle: the single-threaded reference-semantics simulator on the
