@@ -136,10 +136,40 @@ def parse_html(html: str) -> Node:
 
 _WS = re.compile(r"\s+")
 
+# lxml ``Cleaner`` with default flags (the reference's indexing config,
+# processing.py:32-37) additionally KILLS the form-widget tags
+# (``forms=True`` → button/input/select/textarea; the <form> tag itself
+# is removed but its children kept, which text-wise equals our keeping
+# it). Validated against the published per-document frequencies — e.g.
+# 'slovenije' lands on the report's exact 9,105 only with these killed.
+INDEX_WIDGET_KILL = frozenset({"button", "input", "select", "textarea"})
+
+
+def text_content_raw(
+    html: str,
+    body_only: bool = False,
+    extra_kill: frozenset = frozenset(),
+) -> str:
+    """Raw concatenated text content (NO whitespace normalization) minus
+    script/style/nav/footer and ``extra_kill`` tags. ``body_only``
+    mirrors the reference's ``tree.body.text_content()``
+    (processing.py:32-37): <head>/<title> text is excluded. The raw
+    (uncollapsed) form matters for X14 parity — nltk's rule cascade
+    distinguishes space from other whitespace (e.g. the "' " ending-quote
+    rule), so the tokenizer must see the same bytes nltk would."""
+    root = parse_html(html)
+    node = root
+    if body_only:
+        for n in root.iter():
+            if n.tag == "body":
+                node = n
+                break
+    return node.text_content(kill=frozenset(KILL_TAGS) | extra_kill)
+
 
 def visible_text(html: str) -> str:
     """X13: text content minus script/style/nav/footer, whitespace-normalized."""
-    txt = parse_html(html).text_content(kill=frozenset(KILL_TAGS))
+    txt = text_content_raw(html)
     return _WS.sub(" ", txt).strip()
 
 

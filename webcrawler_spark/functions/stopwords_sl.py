@@ -71,3 +71,31 @@ STOPWORDS_SL_FULL = frozenset(
      "šele", "prek", "znova", "morda", "kateri", "katero", "katera",
      "ampak", "lahek", "morati", "torej"]
 )
+
+# The reference's RUNTIME stopword set is the union of the explicit list
+# above with ``nltk.corpus.stopwords.words("slovene")``
+# (implementation-indexing/stopwords.py:2-4). The nltk corpus data file is
+# not in this container; these are the members of it RECOVERED from the
+# reference's own published artifacts: each word appears in our
+# otherwise byte-exact token stream but is absent from the corresponding
+# published snippet window (implementation-indexing/report/*.png), which
+# proves the reference's filter dropped it. Every entry cites the window
+# that evidences it; tests/test_real_corpus_index.py re-derives each one.
+# nltk-slovene members that never border a published window cannot be
+# recovered offline — that unrecovered tail is exactly the remaining
+# vocabulary delta (ours 48,398 vs published 48,081, +0.66%).
+NLTK_SLOVENE_EVIDENCED = frozenset(
+    ["oziroma",    # davcna_olajsava.png evem.7 w1: "39 50 20" (ours kept: "50 oziroma 20")
+     "katerimi",   # podatki.png e-prostor.57 w3: "dostopne geodetske podatke" vs "geodetske podatke katerimi"
+     "druge",      # predelovalne_dejavnosti.png evem.371 w2: "tehnologijo 32 raznovrstne" vs "32 druge raznovrstne"
+     "katere",     # predelovalne_dejavnosti.png evem.452 w3: "dejavnosti storitve predpisani" vs "dejavnosti storitve katere"
+     "drugih",     # trgovina.png evem.651 w1-2: "trgovina drobno specializiranih" vs "trgovina drobno drugih"
+     "drugimi",    # trgovina.png evem.623 w1 / evem.327 w1: "trgovina debelo izdelki" vs "trgovina debelo drugimi"
+     "nismo",      # predelovalne_dejavnosti.png evem.398 w3: "dejavnosti sloveniji presegli" vs "sloveniji nismo"
+     "niso",       # predelovalne_dejavnosti.png evem.28 w2: "pravne osebe posamezne" vs "osebe niso posamezne"
+     "predvsem"]   # predelovalne_dejavnosti.png evem.28 w5: "zasebnega zavoda število" vs "zavoda predvsem število"
+)
+
+# What the reference's `stop_words_slovene` evaluates to at runtime, as
+# closely as it can be reconstructed without the nltk data file.
+STOPWORDS_SL_RUNTIME = STOPWORDS_SL_FULL | NLTK_SLOVENE_EVIDENCED

@@ -5,11 +5,20 @@ reference's way (processing.py:25-37,75-121):
 * directory scan per site, ``*.html`` only (``:80-86``)
 * utf-8 read + ``<?xml … ?>`` declaration strip (``:25-30``)
 * lxml ``Cleaner(style=True, kill_tags={nav, footer})`` + body
-  ``text_content()`` → our stdlib ``visible_text`` (X13; lxml absent here)
+  ``text_content()`` → our stdlib DOM with the same effective kills
+  (X13; lxml absent here): body-only, script/style/nav/footer plus the
+  Cleaner-default form widgets (``html_text.INDEX_WIDGET_KILL``)
 * nltk ``word_tokenize`` → keep alnum → lowercase → drop Slovene
-  stopwords (``:17-21``) → our unicode split tokenizer (X14 documented
-  approximation: hyphen/period-joined nltk tokens split into parts) +
-  the reference's ported stopword list (stopwords_sl.py)
+  stopwords (``:17-21``) → the faithful rule-cascade tokenizer
+  (``functions/nltk_tokenize.py``) + the reference's ported stopword
+  list extended with its snippet-evidenced nltk members
+  (``stopwords_sl.STOPWORDS_SL_RUNTIME``)
+
+Parity, validated in tests/test_real_corpus_index.py against the
+reference's published artifacts: 54/54 per-document query frequencies
+exact, every legible published snippet window byte-exact, 'slovenije'
+9,105 exact, 'proizvodnja' 2,266 exact, vocabulary 48,398 vs published
+48,081 (+0.66%, the unrecovered nltk-stopword tail — see stopwords_sl).
 
 ``doc`` names are ``site/file`` exactly as the reference stores them
 (processing.py:116).
@@ -28,9 +37,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from webcrawler_spark.extract.html_text import visible_text
-from webcrawler_spark.functions.stopwords_sl import STOPWORDS_SL_FULL
-from webcrawler_spark.functions.text import tokens_unicode
+from webcrawler_spark.extract.html_text import INDEX_WIDGET_KILL, text_content_raw
+from webcrawler_spark.functions.nltk_tokenize import tokens_nltk
+from webcrawler_spark.functions.stopwords_sl import STOPWORDS_SL_RUNTIME
 from webcrawler_spark.index.build import build_postings
 
 INDEX_ROOT = "/root/reference/input-indexing"
@@ -57,7 +66,9 @@ def read_index_corpus(spark: SparkSession, root: str = INDEX_ROOT) -> DataFrame:
                 html = bytes(content).decode("utf-8", errors="replace")
                 html = _XML_DECL.sub("", html)
                 docs.append(doc)
-                texts.append(visible_text(html))
+                # raw (uncollapsed) body text — what lxml hands nltk
+                texts.append(text_content_raw(
+                    html, body_only=True, extra_kill=INDEX_WIDGET_KILL))
             yield pd.DataFrame({"doc": docs, "text": texts})
 
     return raw.mapInPandas(decode, schema="doc string, text string")
@@ -65,13 +76,13 @@ def read_index_corpus(spark: SparkSession, root: str = INDEX_ROOT) -> DataFrame:
 
 def build_real_postings(corpus: DataFrame) -> DataFrame:
     """postings(doc, word, frequency, positions) over the real corpus,
-    Slovene stopwords applied (F12)."""
+    Slovene stopwords applied (F12), reference-exact tokenizer (X14)."""
     return build_postings(
         corpus,
         doc_col="doc",
         text_col="text",
-        stopwords=tuple(sorted(STOPWORDS_SL_FULL)),
-        tokenizer=tokens_unicode,
+        stopwords=tuple(sorted(STOPWORDS_SL_RUNTIME)),
+        tokenizer=tokens_nltk,
     )
 
 
