@@ -514,6 +514,38 @@ def _q_image_invariants(spark, sf):
     )
 
 
+def _q_image_caption_pairs(spark, sf):
+    # A+B graft integration: X4 image+alt extraction over the synthetic
+    # webgraph -> payload ingest keyed by crc32 image_id -> input_hint
+    # pair table -> per-row invariant incl. EXACT caption equality
+    # (multimodal/pairs.py; end-to-end-from-a-real-crawl in
+    # tests/test_image_pairs.py — here the extraction stage runs on the
+    # static pages table so the query is crawl-free and fast)
+    from webcrawler_spark.multimodal.pairs import (
+        assemble_pairs, distinct_caption_keys, ingest_payloads, verify_pairs)
+    from webcrawler_spark.sources.fixtures import make_webgraph
+
+    wg, _robots = make_webgraph(n_hosts=6, pages_per_host_base=6)
+    pages = spark.createDataFrame(wg[["url", "img_srcs", "img_alts"]])
+    caps = (
+        pages.select(
+            F.col("url").alias("page_url"),
+            F.explode(F.arrays_zip(
+                F.col("img_srcs").alias("src"), F.col("img_alts").alias("alt")
+            )).alias("ia"))
+        .select("page_url", F.col("ia.src").alias("src"), F.col("ia.alt").alias("alt"))
+        .filter(~F.col("src").startswith("data"))
+    )
+    pairs = assemble_pairs(caps, ingest_payloads(distinct_caption_keys(caps)))
+    return verify_pairs(pairs).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("shape_ok").cast("int")).cast("long").alias("n_shape_ok"),
+        F.sum(F.col("phash_ok").cast("int")).cast("long").alias("n_phash_ok"),
+        F.sum(F.col("quality_ok").cast("int")).cast("long").alias("n_quality_ok"),
+        F.sum(F.col("caption_ok").cast("int")).cast("long").alias("n_caption_ok"),
+    )
+
+
 def _q_image_features(spark, sf):
     # multimodal feature extraction: grid color features → mean per format
     from webcrawler_spark.multimodal import grid_features
@@ -617,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_pages": _q_crawl_pages,
         "image_invariants": _q_image_invariants,
         "image_features": _q_image_features,
+        "image_caption_pairs": _q_image_caption_pairs,
     }
 
 
@@ -929,7 +962,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extraction_golden": _golden_oracle_values(),
         "extraction_mode_a": _golden_oracle_mode_a(),
-        # crawl_pages / image_invariants / image_features: non-SQL-expressible
+        # crawl_pages / image_invariants / image_features /
+        # image_caption_pairs: non-SQL-expressible
         # (engine vs simulator oracle and pandas-UDF pipelines) — rows-only.
     }
 

@@ -77,7 +77,7 @@ MAX_REDIRECT_DEPTH = 3
 
 DELTA_TABLES = (
     "trace", "page_visits", "consumed", "links", "images",
-    "content_map", "page_admissions", "seen", "page_data",
+    "image_captions", "content_map", "page_admissions", "seen", "page_data",
 )
 
 
@@ -449,9 +449,10 @@ class CrawlEngine:
         tp = to_process
         if n_picked <= cfg.broadcast_pick_limit:
             tp = F.broadcast(tp)
-        fetched = self.wg.join(tp, "url", "inner").select(
-            "url", "seq", "content_type", "text_norm", "html", "img_srcs"
-        ).persist()
+        fetch_cols = ["url", "seq", "content_type", "text_norm", "html", "img_srcs"]
+        if "img_alts" in self.wg.columns:  # caption source (absent in bare graphs)
+            fetch_cols.append("img_alts")
+        fetched = self.wg.join(tp, "url", "inner").select(*fetch_cols).persist()
 
         # picked-or-landed URLs absent from the webgraph → 404
         missing = (
@@ -663,9 +664,22 @@ class CrawlEngine:
             F.col("parent_url").alias("from_url"), F.col("url").alias("to_url")
         )
 
-        # images (F10 data:-filter, X2 MIME map)
-        imgs = (
-            originals.select("url", F.explode("img_srcs").alias("src"))
+        # images (F10 data:-filter, X2 MIME map) + captions (img alt text —
+        # the graft payload's caption source; a pages table without an
+        # img_alts column yields empty alts, preserving the reference-only
+        # shape)
+        alts = (
+            F.col("img_alts") if "img_alts" in originals.columns
+            else F.transform(F.col("img_srcs"), lambda _: F.lit(""))
+        )
+        img_pairs = (
+            originals.select(
+                "url",
+                F.explode(F.arrays_zip(
+                    F.col("img_srcs").alias("src"), alts.alias("alt")
+                )).alias("ia"),
+            )
+            .select("url", F.col("ia.src").alias("src"), F.col("ia.alt").alias("alt"))
             .filter(~F.col("src").startswith("data"))
             .withColumn(
                 "ext",
@@ -679,8 +693,12 @@ class CrawlEngine:
                 F.col("url").alias("page_url"),
                 "src",
                 image_mime(F.col("ext")).alias("content_type"),
+                "alt",
             )
         )
+        # reference-parity image records (src-only triples, like the
+        # reference's DatabaseHandler image rows)
+        imgs = img_pairs.select("page_url", "src", "content_type")
 
         # 8. buffer deltas + refresh cached state
         visits = missing.unionByName(loop_pages).unionByName(binaries) \
@@ -695,6 +713,7 @@ class CrawlEngine:
         self._append("consumed", consumed)
         self._append("links", dup_links.unionByName(adm_links))
         self._append("images", imgs)
+        self._append("image_captions", img_pairs.select("page_url", "src", "alt"))
         self._append("page_admissions", new_frontier.select("seq", "url", "host", "ip"))
 
         new_cm = originals.select(
@@ -914,6 +933,13 @@ class CrawlEngine:
 
     def images_df(self) -> DataFrame:
         return self._read_all("images")
+
+    @property
+    def image_captions_df(self) -> DataFrame:
+        """(page_url, src, alt) — the crawl-extracted caption source for
+        the image+caption pair table (multimodal/pairs.py; north_rule's
+        'Iceberg tables of image + caption pairs')."""
+        return self._read_all("image_captions")
 
     def page_data_df(self) -> DataFrame | None:
         return self._read_all("page_data")

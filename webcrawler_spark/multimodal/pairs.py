@@ -1,0 +1,111 @@
+"""Image+caption pair assembly — the crawl→payload integration.
+
+north_rule: the frontier/scheduler operates "over Iceberg tables of
+image + caption pairs". The two halves meet here:
+
+* the CRAWL side discovers images and their captions: X4 extraction
+  emits the ``image_captions`` delta (page_url, src, alt) —
+  ``crawl/engine.py`` — where alt is the page's caption text for the
+  image (simulator-equality-tested like every other delta);
+* the INGEST side holds the payload bytes keyed by
+  ``image_id_of_src(src)``: in production the fetcher's byte store; here
+  a deterministic distributed render (``fixtures.render_image``) whose
+  ground truth is recomputable from the key alone, which is what makes
+  the per-row invariant testable with nothing stored.
+
+``assemble_pairs`` joins the two into the ``input_hint`` table
+``(image_id, bytes, w, h, fmt, caption, phash)``; ``verify_pairs`` checks
+the per-row invariant — decoded pixels round-trip (PSNR ≥ 40 dB for the
+lossy format), recomputed phash == stored phash, and EXACT caption
+equality between the crawl-extracted alt and the payload's ground truth.
+
+Scale shape: captions dedup by (src, alt) before the join (hot srcs —
+the fixture's logo.png appears on most pages — collapse to one row, so
+the join key is unique on both sides and skew cannot concentrate); the
+join shuffles on image_id (high-cardinality, uniform by construction of
+the hash key); render/verify are Arrow-batched ``mapInPandas`` — at
+production scale the render stage is the fetcher and everything else is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAIR_SCHEMA = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+
+
+def _image_id_col(src):
+    # driver-side twin: fixtures.image_id_of_src (same crc32)
+    return F.concat(
+        F.lit("img"),
+        F.lpad(F.pmod(F.crc32(src.cast("binary")), F.lit(1_000_000_000)).cast("string"), 10, "0"),
+    )
+
+
+def distinct_caption_keys(captions: DataFrame) -> DataFrame:
+    """(image_id, src, caption): the crawl's caption table keyed for the
+    payload join. Dedup on (src, alt) — the fixture's alt is a function
+    of src so this is lossless; a real crawl with conflicting alts would
+    pick a winner here (first-writer, as the page dedup does)."""
+    return (
+        captions.select("src", F.col("alt").alias("caption"))
+        .distinct()
+        .withColumn("image_id", _image_id_col(F.col("src")))
+    )
+
+
+def ingest_payloads(keys: DataFrame) -> DataFrame:
+    """The ingest side: render+encode every distinct image_id into the
+    payload store (image_id, bytes, w, h, fmt, phash). Stands in for the
+    fetcher's byte download; deterministic per key (fixtures.render_image)
+    so any row is re-derivable for verification. phash is of the STORED
+    artifact (decode(bytes)) — see fixtures.make_images."""
+    from webcrawler_spark.functions.images import decode_image, encode_image, phash64
+    from webcrawler_spark.sources.fixtures import render_image
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for image_id in pdf["image_id"]:
+                pixels, w, h, fmt, _caption = render_image(image_id)
+                data = encode_image(pixels, fmt)
+                ph = phash64(pixels if fmt == "png" else decode_image(data))
+                rows.append((image_id, data, w, h, fmt, ph))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "phash"])
+
+    return keys.select("image_id").distinct().mapInPandas(
+        render,
+        schema="image_id string, bytes binary, w int, h int, fmt string, phash long",
+    )
+
+
+def assemble_pairs(captions: DataFrame, payloads: DataFrame) -> DataFrame:
+    """input_hint table: crawl captions ⋈ payload store on image_id."""
+    keys = distinct_caption_keys(captions)
+    return keys.join(payloads, "image_id", "inner").select(*PAIR_SCHEMA)
+
+
+def verify_pairs(pairs: DataFrame) -> DataFrame:
+    """Per-row invariant columns for an assembled pair table: shape,
+    phash recompute, decode→encode→decode PSNR/exactness
+    (multimodal.verify_invariants) plus caption equality against the
+    ground truth recomputable from image_id (fixtures.caption_of)."""
+    from webcrawler_spark.multimodal import verify_invariants
+    from webcrawler_spark.sources.fixtures import caption_of
+
+    inv = verify_invariants(pairs)
+
+    @F.pandas_udf("boolean")
+    def caption_ok(image_id: pd.Series, caption: pd.Series) -> pd.Series:
+        return pd.Series(
+            [caption_of(i) == c for i, c in zip(image_id, caption)])
+
+    caps = pairs.select(
+        "image_id", caption_ok(F.col("image_id"), F.col("caption")).alias("caption_ok"))
+    return inv.join(caps, "image_id", "inner")

@@ -230,13 +230,14 @@ def make_webgraph(
             }[ext]
             rows.append({**p, "status": 200, "content_type": ct,
                          "redirect_to": None, "html": None, "text_norm": None,
-                         "dup_group": -1, "out_links": [], "img_srcs": []})
+                         "dup_group": -1, "out_links": [], "img_srcs": [],
+                         "img_alts": []})
             continue
         if i in redirect_to:
             rows.append({**p, "status": 301, "content_type": "text/html",
                          "redirect_to": redirect_to[i], "html": None,
                          "text_norm": None, "dup_group": -1,
-                         "out_links": [], "img_srcs": []})
+                         "out_links": [], "img_srcs": [], "img_alts": []})
             continue
         if p["kind"] == "html" and p["url"] not in SEED_URLS and (
             prng.random() < 0.04 or p["url"].endswith("/p2")
@@ -250,7 +251,8 @@ def make_webgraph(
             ct = "application/pdf" if i % 2 == 0 else "application/zip"
             rows.append({**p, "status": 200, "content_type": ct,
                          "redirect_to": None, "html": None, "text_norm": None,
-                         "dup_group": -1, "out_links": [], "img_srcs": []})
+                         "dup_group": -1, "out_links": [], "img_srcs": [],
+                         "img_alts": []})
             continue
 
         # outgoing links: mostly same-host, some cross-host/out-of-scope
@@ -284,6 +286,10 @@ def make_webgraph(
                 else:
                     img_srcs.append(f"http://{p['host']}/img{k}.jpg")
 
+        # the pages carry the image's caption as alt text — the source
+        # the pair pipeline's caption column comes from (X4 extraction)
+        img_alts = [caption_of(image_id_of_src(s)) for s in img_srcs]
+
         dg = group_of.get(i)
         text = _page_text(prng, dg)
         body = []
@@ -294,8 +300,8 @@ def make_webgraph(
                 )
             else:
                 body.append(f'<a href="{l}">link{li}</a>')
-        for s in img_srcs:
-            body.append(f'<img src="{s}"/>')
+        for s, a in zip(img_srcs, img_alts):
+            body.append(f'<img src="{s}" alt="{a}"/>')
         html = (
             "<html><head><title>t</title></head><body>"
             + "".join(body)
@@ -304,10 +310,30 @@ def make_webgraph(
         rows.append({**p, "status": 200, "content_type": "text/html",
                      "redirect_to": None, "html": html, "text_norm": text,
                      "dup_group": -1 if dg is None else dg,
-                     "out_links": raw_links, "img_srcs": img_srcs})
+                     "out_links": raw_links, "img_srcs": img_srcs,
+                     "img_alts": img_alts})
 
     wg = pd.DataFrame(rows)
     return wg, robots
+
+
+def image_id_of_src(src: str) -> str:
+    """Canonical payload key for a crawl-discovered img src — the
+    crawl→payload join key (north_rule: frontier over image+caption pair
+    tables). crc32: same polynomial in zlib, DuckDB and Spark, so the key
+    is computable on any side without a UDF."""
+    import zlib
+
+    return f"img{zlib.crc32(src.encode('utf-8')) % 1_000_000_000:010d}"
+
+
+def caption_of(image_id: str) -> str:
+    """Ground-truth caption as a pure function of image_id (the alt text
+    the synthetic pages carry; exact-equality oracle for the pair
+    pipeline)."""
+    idx = int(image_id.replace("img", ""))
+    words = np.random.default_rng(910_000 + idx).choice(_WORDS, size=6)
+    return " ".join(words.tolist())
 
 
 def render_image(image_id: str) -> tuple[np.ndarray, int, int, str, str]:
@@ -333,9 +359,7 @@ def render_image(image_id: str) -> tuple[np.ndarray, int, int, str, str]:
     mask = (x - cx) ** 2 + (y - cy) ** 2 < rad ** 2
     img[mask] = img[mask] * 0.5 + r.uniform(50, 120)
     pixels = np.clip(img, 0, 255).astype(np.uint8)
-    words = np.random.default_rng(910_000 + idx).choice(_WORDS, size=6)
-    caption = " ".join(words.tolist())
-    return pixels, w, h, fmt, caption
+    return pixels, w, h, fmt, caption_of(image_id)
 
 
 def make_images(n: int = 200) -> pd.DataFrame:

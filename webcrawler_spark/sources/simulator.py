@@ -50,6 +50,7 @@ class SimResult:
     pages: dict = field(default_factory=dict)    # url -> dict(type,status,time,seq)
     links: list = field(default_factory=list)    # (from_url, to_url)
     images: list = field(default_factory=list)   # (page_url, src, content_type)
+    image_captions: list = field(default_factory=list)  # (page_url, src, alt)
     page_data: list = field(default_factory=list)  # (url, data_type_code|None)
     seen: set = field(default_factory=set)       # all admitted-or-visited URLs
 
@@ -257,11 +258,13 @@ def simulate(
             seq_counter += 1
 
         # --- images: src-only records, data: URIs skipped (:300-309) ---
-        for src in row["img_srcs"]:
+        alts = row["img_alts"] if "img_alts" in row else [""] * len(row["img_srcs"])
+        for src, alt in zip(row["img_srcs"], alts):
             if src.startswith("data"):
                 continue
             ext = src.rsplit(".", 1)[-1] if "." in src.rsplit("/", 1)[-1] else ""
             res.images.append((url, src, image_mime_py(ext)))
+            res.image_captions.append((url, src, alt))
 
         res.seen.add(url)
 
