@@ -353,17 +353,18 @@ def test_published_snippet_windows_python(spark):
 
 def test_published_snippet_windows_spark(postings, spark):
     """The same published windows through the Spark W3 path (search →
-    snippets over the postings' positions) for single-term queries,
-    where the sorted-positions order of search() coincides with the
-    reference's per-term grouping."""
+    snippets over the postings' positions), multi-term queries included
+    — ``positions_by_term=True`` reproduces the reference's per-term
+    window order."""
     from webcrawler_spark.functions.nltk_tokenize import tokens_nltk
     from webcrawler_spark.functions.stopwords_sl import STOPWORDS_SL_RUNTIME
     from webcrawler_spark.index.search import search, snippets
 
     corpus = RC.read_index_corpus(spark)
-    for query in ("robot", "trgovina", "podatki"):
+    for query in ("robot", "trgovina", "podatki", "davčna olajšava",
+                  "social services", "predelovalne dejavnosti"):
         expect = {d: s for (q, d), s in PUBLISHED_SNIPPETS.items() if q == query}
-        hits = search(spark, postings, query).filter(
+        hits = search(spark, postings, query, positions_by_term=True).filter(
             F.col("doc").isin(list(expect)))
         got = {
             r["doc"]: " ... ".join(r["snippet"].split(" ... ")[:5])

@@ -19,17 +19,32 @@ from webcrawler_spark.functions.text import STOPWORDS_EN, remove_stopwords, toke
 
 
 def search(
-    spark: SparkSession, postings: DataFrame, query: str
+    spark: SparkSession, postings: DataFrame, query: str,
+    positions_by_term: bool = False,
 ) -> DataFrame:
-    """score(doc) = Σ frequency over matched terms, descending (A6/O3)."""
+    """score(doc) = Σ frequency over matched terms, descending (A6/O3).
+
+    ``positions_by_term=True`` orders ``all_positions`` the reference's
+    way for snippets: grouped by query term in query order, ascending
+    within a term (run-sqlite-search.py:24-44 merges each term's stored
+    CSV in term order) — the order the published snippet screenshots
+    show. Default stays globally sorted (the driver-oracle contract)."""
     terms = [t for t in query.lower().split(" ") if t]
-    terms_df = spark.createDataFrame([(t,) for t in terms], "word string")
+    terms_df = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(terms)], "word string, term_ord int")
+    joined = postings.join(F.broadcast(terms_df), "word", "inner")   # J7
+    if positions_by_term:
+        all_pos = F.flatten(F.transform(
+            F.array_sort(F.collect_list(F.struct("term_ord", "positions"))),
+            lambda x: x["positions"],
+        ))
+    else:
+        all_pos = F.sort_array(F.flatten(F.collect_list("positions")))
     return (
-        postings.join(F.broadcast(terms_df), "word", "inner")   # J7
-        .groupBy("doc")
+        joined.groupBy("doc")
         .agg(
             F.sum("frequency").cast("long").alias("score"),
-            F.sort_array(F.flatten(F.collect_list("positions"))).alias("all_positions"),
+            all_pos.alias("all_positions"),
         )
         .orderBy(F.desc("score"), F.asc("doc"))
     )
