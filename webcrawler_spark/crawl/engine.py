@@ -668,9 +668,12 @@ class CrawlEngine:
         # the graft payload's caption source; a pages table without an
         # img_alts column yields empty alts, preserving the reference-only
         # shape)
+        no_alts = F.transform(F.col("img_srcs"), lambda _: F.lit(""))
         alts = (
-            F.col("img_alts") if "img_alts" in originals.columns
-            else F.transform(F.col("img_srcs"), lambda _: F.lit(""))
+            # coalesce: a NULL img_alts value must not null the arrays_zip
+            # and silently drop the row's image records
+            F.coalesce(F.col("img_alts"), no_alts)
+            if "img_alts" in originals.columns else no_alts
         )
         img_pairs = (
             originals.select(

@@ -40,7 +40,12 @@ PAIR_SCHEMA = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
 
 
 def _image_id_col(src):
-    # driver-side twin: fixtures.image_id_of_src (same crc32)
+    # driver-side twin: fixtures.image_id_of_src (same crc32). crc32%1e9
+    # keeps the key recomputable in DuckDB for the oracle; a production
+    # ingest would key on xxhash64 of the fetched BYTES (64-bit content
+    # hash: collisions negligible at 10^10 and byte-identical images
+    # dedup for free). A key collision here is detectable, not silent:
+    # the colliding row's caption_ok/phash_ok invariant fails.
     return F.concat(
         F.lit("img"),
         F.lpad(F.pmod(F.crc32(src.cast("binary")), F.lit(1_000_000_000)).cast("string"), 10, "0"),
