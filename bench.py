@@ -65,7 +65,7 @@ BENCH_QUERIES = [
     "extraction_golden",
 ]
 
-CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "1200"))
+CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "600"))
 CRAWL_BASE = int(os.environ.get("SPARK_GRAFT_BENCH_BASE", "12"))
 CRAWL_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "1"))
 # 32M candidates/round: big enough that per-job overhead and Python-worker
