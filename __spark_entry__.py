@@ -522,21 +522,14 @@ def _q_image_caption_pairs(spark, sf):
     # tests/test_image_pairs.py — here the extraction stage runs on the
     # static pages table so the query is crawl-free and fast)
     from webcrawler_spark.multimodal.pairs import (
-        assemble_pairs, distinct_caption_keys, ingest_payloads, verify_pairs)
+        assemble_pairs, caption_records, distinct_caption_keys,
+        ingest_payloads, verify_pairs)
     from webcrawler_spark.sources.fixtures import make_webgraph
 
     wg, _robots = make_webgraph(n_hosts=6, pages_per_host_base=6)
     pages = spark.createDataFrame(wg[["url", "img_srcs", "img_alts"]])
-    caps = (
-        pages.select(
-            F.col("url").alias("page_url"),
-            F.explode(F.arrays_zip(
-                F.col("img_srcs").alias("src"), F.col("img_alts").alias("alt")
-            )).alias("ia"))
-        .select("page_url", F.col("ia.src").alias("src"), F.col("ia.alt").alias("alt"))
-        .filter(~F.col("src").startswith("data"))
-    )
-    pairs = assemble_pairs(caps, ingest_payloads(distinct_caption_keys(caps)))
+    keys = distinct_caption_keys(caption_records(pages))
+    pairs = assemble_pairs(keys, ingest_payloads(keys))
     return verify_pairs(pairs).agg(
         F.count("*").cast("long").alias("n_pairs"),
         F.sum(F.col("shape_ok").cast("int")).cast("long").alias("n_shape_ok"),

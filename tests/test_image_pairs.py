@@ -58,7 +58,7 @@ def engine(spark, fixture_graph, tmp_path_factory):
 
 def test_image_captions_delta_matches_simulator(engine, sim):
     got = sorted((r["page_url"], r["src"], r["alt"])
-                 for r in engine.image_captions_df.collect())
+                 for r in engine.image_captions_df().collect())
     assert got == sorted(sim.image_captions)
     assert len(got) > 0
     # captions delta aligns 1:1 with the reference-parity images delta
@@ -69,7 +69,7 @@ def test_image_id_twin(engine, spark):
     """The Catalyst crc32 image_id equals the Python twin for every
     crawl-discovered src (the crawl→payload join key is portable)."""
     rows = (
-        engine.image_captions_df.select("src")
+        engine.image_captions_df().select("src")
         .distinct()
         .withColumn("image_id", _image_id_col(F.col("src")))
         .collect()
@@ -80,17 +80,16 @@ def test_image_id_twin(engine, spark):
 
 
 def test_assembled_pairs_satisfy_input_hint_invariant(engine, spark):
-    caps = engine.image_captions_df
-    keys = distinct_caption_keys(caps)
+    keys = distinct_caption_keys(engine.image_captions_df())
     n_keys = keys.count()
     assert n_keys > 0
 
     payloads = ingest_payloads(keys)
-    pairs = assemble_pairs(caps, payloads)
+    pairs = assemble_pairs(keys, payloads)
     assert list(pairs.columns) == list(PAIR_SCHEMA)
 
     checked = verify_pairs(pairs).collect()
-    # the join is lossless: one pair row per distinct (src, alt)
+    # the join is lossless: one pair row per distinct src
     assert len(checked) == n_keys
     for r in checked:
         assert r["shape_ok"] and r["phash_ok"] and r["quality_ok"], r

@@ -664,26 +664,13 @@ class CrawlEngine:
             F.col("parent_url").alias("from_url"), F.col("url").alias("to_url")
         )
 
-        # images (F10 data:-filter, X2 MIME map) + captions (img alt text —
-        # the graft payload's caption source; a pages table without an
-        # img_alts column yields empty alts, preserving the reference-only
-        # shape)
-        no_alts = F.transform(F.col("img_srcs"), lambda _: F.lit(""))
-        alts = (
-            # coalesce: a NULL img_alts value must not null the arrays_zip
-            # and silently drop the row's image records
-            F.coalesce(F.col("img_alts"), no_alts)
-            if "img_alts" in originals.columns else no_alts
-        )
+        # images (F10 data:-filter, X2 MIME map) + captions (img alt
+        # text — the graft payload's caption source). The guarded src+alt
+        # zip is the shared X4 helper (multimodal/pairs.caption_records).
+        from webcrawler_spark.multimodal.pairs import caption_records
+
         img_pairs = (
-            originals.select(
-                "url",
-                F.explode(F.arrays_zip(
-                    F.col("img_srcs").alias("src"), alts.alias("alt")
-                )).alias("ia"),
-            )
-            .select("url", F.col("ia.src").alias("src"), F.col("ia.alt").alias("alt"))
-            .filter(~F.col("src").startswith("data"))
+            caption_records(originals)
             .withColumn(
                 "ext",
                 F.when(
@@ -693,10 +680,8 @@ class CrawlEngine:
                 ).otherwise(F.lit("")),
             )
             .select(
-                F.col("url").alias("page_url"),
-                "src",
-                image_mime(F.col("ext")).alias("content_type"),
-                "alt",
+                "page_url", "src",
+                image_mime(F.col("ext")).alias("content_type"), "alt",
             )
         )
         # reference-parity image records (src-only triples, like the
@@ -937,11 +922,11 @@ class CrawlEngine:
     def images_df(self) -> DataFrame:
         return self._read_all("images")
 
-    @property
-    def image_captions_df(self) -> DataFrame:
+    def image_captions_df(self) -> DataFrame | None:
         """(page_url, src, alt) — the crawl-extracted caption source for
         the image+caption pair table (multimodal/pairs.py; north_rule's
-        'Iceberg tables of image + caption pairs')."""
+        'Iceberg tables of image + caption pairs'). None before the
+        first committed round, like every _read_all accessor."""
         return self._read_all("image_captions")
 
     def page_data_df(self) -> DataFrame | None:

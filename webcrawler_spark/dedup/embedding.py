@@ -158,14 +158,20 @@ def lsh_near_duplicate_pairs(
     # 2.87 s -> 2.21 s, and a numpy (n,dim)@(dim,planes) int64 matmul is
     # the 100-TB shape regardless).
     # Quantization matches Catalyst/DuckDB round() exactly: HALF_UP away
-    # from zero on the binary double, so bits stay engine-portable.
+    # from zero on the binary double. NOT floor(abs+0.5) — adding 0.5 can
+    # round UP in FP for the largest double below a .5 tie
+    # (0.49999999999999994+0.5 == 1.0) where BigDecimal HALF_UP gives 0.
+    # frac = abs - floor(abs) is EXACT for |v| < 2^52, so comparing it to
+    # 0.5 reproduces HALF_UP bit-for-bit in every engine.
     P = np.asarray(planes, dtype=np.int64).T  # (dim, LSH_PLANES)
     shifts = (1 << np.arange(LSH_PLANES, dtype=np.int64))
 
     @F.pandas_udf("long")
     def sig_udf(vec: pd.Series) -> pd.Series:
         M = np.stack([np.asarray(x, dtype=np.float64) for x in vec]) * 1000.0
-        Q = (np.sign(M) * np.floor(np.abs(M) + 0.5)).astype(np.int64)
+        A = np.abs(M)
+        base = np.floor(A)
+        Q = ((base + (A - base >= 0.5)) * np.sign(M)).astype(np.int64)
         bits = (Q @ P) > 0
         return pd.Series((bits * shifts).sum(axis=1))
 

@@ -18,9 +18,14 @@ punctuation is split into its OWN token — and the reference's
 ``isalnum`` strip then deletes that punctuation either way, from a
 separate token (→ empty → dropped) or from the word's tail. The
 alnum-stripped token stream is therefore invariant to sentence
-segmentation, so the cascade is applied to the whole text at once.
-(Punkt's pickled parameters are unavailable here regardless; this
-argument is what the validation below certifies empirically.)
+segmentation — with one scoped exception: the English contraction rules
+(CONTRACTIONS2/ENDING_QUOTES) anchor on a following space, so a
+contraction immediately before a sentence-final period ("...wanna.")
+splits under per-sentence nltk but not here. That shape does not occur
+in the Slovene corpus (the validation below is exact); callers using
+``tokens_nltk`` on English prose should know the caveat. (Punkt's
+pickled parameters are unavailable here regardless; the validation
+certifies the equivalence empirically.)
 
 Validation against the reference's own published artifacts (asserted in
 ``tests/test_real_corpus_index.py`` over the real 1,416-page corpus):

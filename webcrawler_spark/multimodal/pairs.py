@@ -19,8 +19,8 @@ the per-row invariant — decoded pixels round-trip (PSNR ≥ 40 dB for the
 lossy format), recomputed phash == stored phash, and EXACT caption
 equality between the crawl-extracted alt and the payload's ground truth.
 
-Scale shape: captions dedup by (src, alt) before the join (hot srcs —
-the fixture's logo.png appears on most pages — collapse to one row, so
+Scale shape: captions reduce to ONE row per src before the join
+(min-alt winner-pick — hot srcs like the fixture's logo.png collapse, so
 the join key is unique on both sides and skew cannot concentrate); the
 join shuffles on image_id (high-cardinality, uniform by construction of
 the hash key); render/verify are Arrow-batched ``mapInPandas`` — at
@@ -39,6 +39,36 @@ from pyspark.sql import functions as F
 PAIR_SCHEMA = ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
 
 
+def caption_records(
+    pages: DataFrame,
+    url_col: str = "url",
+    srcs_col: str = "img_srcs",
+    alts_col: str = "img_alts",
+) -> DataFrame:
+    """X4 image src+alt extraction over a pages table: one
+    (page_url, src, alt) row per non-``data:`` image. THE single
+    implementation of the guarded zip — a missing alts column or a NULL
+    alts value coalesces to empty strings, because ``arrays_zip(srcs,
+    NULL)`` is NULL and would silently drop the row's image records; a
+    SHORTER alts array pads alt with NULL (arrays_zip semantics). The
+    crawl engine and the driver query both call this."""
+    no_alts = F.transform(F.col(srcs_col), lambda _: F.lit(""))
+    alts = (
+        F.coalesce(F.col(alts_col), no_alts)
+        if alts_col in pages.columns else no_alts
+    )
+    return (
+        pages.select(
+            F.col(url_col).alias("page_url"),
+            F.explode(F.arrays_zip(
+                F.col(srcs_col).alias("src"), alts.alias("alt")
+            )).alias("ia"),
+        )
+        .select("page_url", F.col("ia.src").alias("src"), F.col("ia.alt").alias("alt"))
+        .filter(~F.col("src").startswith("data"))
+    )
+
+
 def _image_id_col(src):
     # driver-side twin: fixtures.image_id_of_src (same crc32). crc32%1e9
     # keeps the key recomputable in DuckDB for the oracle; a production
@@ -54,12 +84,14 @@ def _image_id_col(src):
 
 def distinct_caption_keys(captions: DataFrame) -> DataFrame:
     """(image_id, src, caption): the crawl's caption table keyed for the
-    payload join. Dedup on (src, alt) — the fixture's alt is a function
-    of src so this is lossless; a real crawl with conflicting alts would
-    pick a winner here (first-writer, as the page dedup does)."""
+    payload join — ONE row per src. Conflicting alts for the same src
+    (different pages captioning one image differently) resolve to the
+    minimum alt, a deterministic winner-pick, so image_id is unique and
+    every downstream join is fanout-free. (The fixture's alt is a pure
+    function of src, so the pick is a no-op there.)"""
     return (
-        captions.select("src", F.col("alt").alias("caption"))
-        .distinct()
+        captions.groupBy("src")
+        .agg(F.min("alt").alias("caption"))
         .withColumn("image_id", _image_id_col(F.col("src")))
     )
 
@@ -90,9 +122,11 @@ def ingest_payloads(keys: DataFrame) -> DataFrame:
     )
 
 
-def assemble_pairs(captions: DataFrame, payloads: DataFrame) -> DataFrame:
-    """input_hint table: crawl captions ⋈ payload store on image_id."""
-    keys = distinct_caption_keys(captions)
+def assemble_pairs(keys: DataFrame, payloads: DataFrame) -> DataFrame:
+    """input_hint table: caption keys (``distinct_caption_keys``) ⋈
+    payload store on image_id. Takes the KEYS frame (not the raw captions
+    delta) so callers who already built it for ``ingest_payloads`` don't
+    run the dedup aggregation twice."""
     return keys.join(payloads, "image_id", "inner").select(*PAIR_SCHEMA)
 
 

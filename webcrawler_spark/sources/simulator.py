@@ -258,13 +258,18 @@ def simulate(
             seq_counter += 1
 
         # --- images: src-only records, data: URIs skipped (:300-309) ---
-        alts = row["img_alts"] if "img_alts" in row else [""] * len(row["img_srcs"])
-        for src, alt in zip(row["img_srcs"], alts):
+        # alt guard mirrors the engine's caption_records exactly: a
+        # missing column OR a NULL value -> "" per src; a SHORTER alts
+        # list pads None (the engine's arrays_zip pads null)
+        alts = row["img_alts"] if "img_alts" in row else None
+        if not isinstance(alts, (list, tuple)):
+            alts = [""] * len(row["img_srcs"])
+        for i, src in enumerate(row["img_srcs"]):
             if src.startswith("data"):
                 continue
             ext = src.rsplit(".", 1)[-1] if "." in src.rsplit("/", 1)[-1] else ""
             res.images.append((url, src, image_mime_py(ext)))
-            res.image_captions.append((url, src, alt))
+            res.image_captions.append((url, src, alts[i] if i < len(alts) else None))
 
         res.seen.add(url)
 
