@@ -225,7 +225,12 @@ def _kernel_run_once(cores: int) -> tuple[float, dict]:
     root = materialize_round_inputs(
         spark, _kernel_inputs_root(), KERNEL_N, KERNEL_N // 2, KERNEL_N // 4)
     run_round_kernel(spark, 200_000, 100_000, 50_000)  # warm codegen/JIT
-    sidecar = build_seen_sidecar(spark, KERNEL_N // 2)
+    # ONE fixed-shard sidecar reused across every trial/parallelism level
+    # (carried state: its layout is a property of the seen set, not of
+    # the cluster size probing it), built once untimed like the inputs
+    sidecar = build_seen_sidecar(
+        spark, KERNEL_N // 2,
+        path=f"{_kernel_inputs_root()}_sidecar_s32", n_shards=32)
     t0 = time.time()
     r = run_round_kernel(spark, KERNEL_N, KERNEL_N // 2, KERNEL_N // 4,
                          sidecar=sidecar, input_root=root)
@@ -512,7 +517,15 @@ def _search_latency() -> dict:
 
 def main() -> None:
     t_start = time.time()
-    times, total = _operator_suite()
+    phase_walls: dict[str, float] = {}
+
+    def _phase(name: str, fn):
+        t0 = time.time()
+        r = fn()
+        phase_walls[name] = round(time.time() - t0, 1)
+        return r
+
+    times, total = _phase("operator_suite", _operator_suite)
     out = {
         "metric": "operator_suite_seconds",
         "value": total,
@@ -522,18 +535,20 @@ def main() -> None:
     }
     # search latency vs the reference's published 4-140 ms indexed /
     # ~92 s manual-scan numbers (implementation-indexing/report/main.tex:105-118)
-    out["search_latency"] = _search_latency()
+    out["search_latency"] = _phase("search_latency", _search_latency)
     if RUN_CRAWL:
         ratio = SCALE_HI / SCALE_LO
         # 1. per-round kernel at production batch size — the graded scaling
         # job, three parallelism points (the scaling claim is a curve)
-        ks = _kernel_scaling()
+        ks = _phase("kernel_scaling", _kernel_scaling)
         k_lo, k_mid, k_hi = ks["low"], ks["mid"], ks["high"]
         k_speed = k_lo["wall_s"] / k_hi["wall_s"]
         # 2. single-box ceiling calibration for string workloads
+        t0 = time.time()
         c_lo = _calibration_run(SCALE_LO)
         c_mid = _calibration_run(SCALE_MID)
         c_hi = _calibration_run(SCALE_HI)
+        phase_walls["calibration"] = round(time.time() - t0, 1)
         c_speed = c_lo["wall_s"] / c_hi["wall_s"]
         out["round_kernel_scaling"] = {
             "metric": "urls_admitted+deduped_per_sec (one BSP round at production batch size)",
@@ -555,20 +570,23 @@ def main() -> None:
         # 2b. the image pipeline (graft payload axis) at the same two
         # parallelism levels — decode/phash/PSNR invariant over the
         # input_hint table, Arrow-batched end to end
-        out["image_pipeline_scaling"] = _image_scaling()
+        out["image_pipeline_scaling"] = _phase("image_scaling", _image_scaling)
         # 3. full BSP loop with politeness — ONE run (the number is
         # politeness-bound by construction at fixture scale; re-proving it
         # at two core counts every round burned ~1,000 s for a known
         # result. The graded two-cluster-size criterion rests on
         # round_kernel_scaling, the compute path of the same loop.)
+        t0 = time.time()
         wg_root = _crawl_webgraph_parquet()
         lo = _crawl_run(8, wg_root)
+        phase_walls["crawl_bsp"] = round(time.time() - t0, 1)
         out["crawl_bsp"] = {
             "metric": "urls_fetched_deduped_per_sec (full politeness-bound BSP loop)",
             "webgraph_hosts": CRAWL_HOSTS,
             "run": lo,
             "note": "politeness-bound at fixture scale (wall ~= politeness waves x tick); see round_kernel_scaling for the compute path at two/three parallelism levels",
         }
+    out["phase_walls_s"] = phase_walls
     out["total_wall_s"] = round(time.time() - t_start, 2)
     print(json.dumps(out))
 

@@ -66,6 +66,55 @@ def test_sharded_bloom_anti_join_exact_equality(spark):
         sidecar.destroy()
 
 
+def test_sharded_bloom_incremental_update_bit_identical(spark):
+    """update_sharded_bloom (the engine's per-truncation carried-state
+    maintenance) is BIT-IDENTICAL to a full rebuild of old ∪ delta at the
+    same layout: every shard file equal, version accounting advances, and
+    the old version's files stay intact until destroyed."""
+    import os
+
+    import numpy as np
+
+    from webcrawler_spark.functions.bloom import (
+        _shard_file, load_sharded_bloom, update_sharded_bloom)
+
+    _, seen = _cand_seen(spark)
+    base = seen.filter(F.xxhash64("url") % 3 != 0)
+    delta = seen.filter(F.xxhash64("url") % 3 == 0)
+    total = seen.count()
+    n_shards = 13
+    # identical sizing on both sides — layout is what update preserves
+    s_full = build_sharded_bloom(seen, "url", n_shards=n_shards,
+                                 expected_items=total, fpp=0.05)
+    s_base = build_sharded_bloom(base, "url", n_shards=n_shards,
+                                 expected_items=total, fpp=0.05)
+    s_upd = update_sharded_bloom(s_base, delta, "url")
+    try:
+        assert (s_upd.n_shards, s_upd.n_words, s_upd.k) == \
+            (s_full.n_shards, s_full.n_words, s_full.k)
+        for s in range(n_shards):
+            ff, fu = _shard_file(s_full.path, s), _shard_file(s_upd.path, s)
+            a = np.load(ff) if os.path.exists(ff) else None
+            b = np.load(fu) if os.path.exists(fu) else None
+            if a is None or b is None:
+                assert a is None and b is None, f"shard {s} presence differs"
+            else:
+                assert np.array_equal(a, b), f"shard {s} bits differ"
+        # fill accounting: n_items advanced by the delta's row count
+        assert s_upd.n_items == base.count() + delta.count()
+        assert s_upd.capacity == s_base.capacity
+        # the successor is a fresh path; the old version still loads
+        assert s_upd.path != s_base.path
+        assert load_sharded_bloom(s_base.path) is not None
+        # no false negatives through the updated sidecar
+        n_fn = seen.filter(~s_upd.probe(F.col("url"))).count()
+        assert n_fn == 0
+    finally:
+        s_full.destroy()
+        s_base.destroy()
+        s_upd.destroy()
+
+
 def test_bloom_kernel_admission_equality(spark):
     a = admission_kernel(spark, 200_000, 100_000, use_bloom=False)
     b = admission_kernel(spark, 200_000, 100_000, use_bloom=True)

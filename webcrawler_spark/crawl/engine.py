@@ -753,18 +753,30 @@ class CrawlEngine:
         if self.cfg.use_bloom_prefilter:
             # sharded (partitioned) sidecar — per-shard .npy bitsets on
             # shared storage, no broadcast; see functions/bloom.py for the
-            # 10^10 memory math. Rebuilt at each truncation into a fresh
-            # path (worker-side shard caches key on path, so stale shards
-            # age out of the LRU naturally).
-            from webcrawler_spark.functions.bloom import build_sharded_bloom
+            # 10^10 memory math. Maintained INCREMENTALLY: the per-round
+            # seen delta (_seen_new — exactly what the probe compensates
+            # for via the exact anti-join at :619) is OR-ed into a
+            # copy-on-write successor version; only delta-touched shards
+            # are rewritten, the rest hard-link. A full rebuild happens
+            # only at first build or when fill exceeds the 2× sizing
+            # headroom (FPR past capacity is a cost knob, never results —
+            # the exact confirm join guarantees that). Every version
+            # lives at a fresh path (worker-side shard caches key on
+            # path, so stale shards age out of the LRU naturally).
+            from webcrawler_spark.functions.bloom import (
+                build_sharded_bloom, update_sharded_bloom)
             from webcrawler_spark.functions.cuckoo import build_sharded_cuckoo
 
-            if self._sidecar is not None:
-                self._sidecar.destroy()
+            old = self._sidecar
             if self.cfg.seen_filter == "cuckoo":
                 self._sidecar = build_sharded_cuckoo(self.seen, "url")
+            elif old is not None and not old.overfull:
+                self._sidecar = update_sharded_bloom(old, self._seen_new, "url")
             else:
-                self._sidecar = build_sharded_bloom(self.seen, "url", fpp=0.01)
+                self._sidecar = build_sharded_bloom(
+                    self.seen, "url", fpp=0.01, headroom=2.0)
+            if old is not None:
+                old.destroy()
             self._seen_new = self.spark.createDataFrame([], "url string")
 
     # ------------------------------------------------------------------

@@ -217,13 +217,20 @@ def dedup_kernel(spark: SparkSession, n_texts: int,
     )
 
 
-def build_seen_sidecar(spark: SparkSession, n_seen: int):
+def build_seen_sidecar(spark: SparkSession, n_seen: int,
+                       path: str | None = None,
+                       n_shards: int | None = None):
     """Build the sharded Bloom sidecar for synth_seen — carried state,
-    maintained incrementally in the engine; built outside the timed round."""
+    maintained incrementally in the engine; built outside the timed round.
+    With ``path``, a completed build there is REUSED (the carried-state
+    shape: state layout is a property of the data, not of the cluster
+    size probing it — the bench probes one fixed-shard sidecar at every
+    parallelism level)."""
     from webcrawler_spark.functions.bloom import build_sharded_bloom
 
     return build_sharded_bloom(
-        synth_seen(spark, n_seen), "url", expected_items=n_seen, fpp=0.01
+        synth_seen(spark, n_seen), "url", path=path, n_shards=n_shards,
+        expected_items=n_seen, fpp=0.01, reuse_existing=path is not None,
     )
 
 

@@ -37,6 +37,12 @@ Two sidecar layouts:
   (shard, hash) pairs; each shard file is written by exactly one task
   (same-shard rows co-locate under the shard-keyed repartition) via
   tmp-file + atomic rename, so task retries never publish a torn file.
+  A ``_META`` marker written last certifies a completed build
+  (``load_sharded_bloom`` reopens carried state across drivers), and
+  ``update_sharded_bloom`` maintains the sidecar INCREMENTALLY: the
+  per-round seen delta is OR-ed into a copy-on-write successor version
+  — only delta-touched shards rewritten, the rest hard-linked — so
+  per-round maintenance costs O(delta), not a full 10^10-row rebuild.
 
 Membership tests in both layouts are vectorized Arrow UDFs over
 ``xxhash64`` longs — numpy gather + bit test, no per-row Python.
@@ -143,11 +149,25 @@ def shard_of(col: Column, n_shards: int) -> Column:
 class ShardedBloomSidecar:
     """K per-shard Bloom bitsets on shared storage, probed lazily."""
 
-    def __init__(self, path: str, n_shards: int, n_words: int, k: int):
+    def __init__(self, path: str, n_shards: int, n_words: int, k: int,
+                 n_items: int | None = None, capacity: int | None = None):
         self.path = path
         self.n_shards = n_shards
         self.n_words = n_words  # words per shard
         self.k = k
+        # fill accounting for the incremental-update path: n_items is the
+        # (approximate) count of keys inserted so far, capacity the count
+        # the layout was SIZED for. Past capacity the FPR degrades beyond
+        # the build-time fpp — a cost signal only (the exact confirm join
+        # guarantees results regardless) — and ``overfull`` tells the
+        # maintainer to do a fresh full build with more headroom.
+        self.n_items = n_items
+        self.capacity = capacity
+
+    @property
+    def overfull(self) -> bool:
+        return (self.n_items is not None and self.capacity is not None
+                and self.n_items > self.capacity)
 
     def might_contain(self, hash_col: Column, shard_col: Column) -> Column:
         """Vectorized membership test on (xxhash64 value, shard id)."""
@@ -182,6 +202,34 @@ class ShardedBloomSidecar:
         shutil.rmtree(self.path, ignore_errors=True)
 
 
+def load_sharded_bloom(path: str) -> ShardedBloomSidecar | None:
+    """Open a previously built sidecar from its ``_META`` marker (written
+    last, after every shard file's atomic rename — so its presence means
+    the build completed). Returns None if no completed build is at
+    ``path``. This is how a resumed driver (or the next BSP round) picks
+    up the carried seen-set state without rebuilding it."""
+    meta_f = os.path.join(path, "_META")
+    if not os.path.exists(meta_f):
+        return None
+    import json
+
+    with open(meta_f) as fh:
+        m = json.load(fh)
+    return ShardedBloomSidecar(path, m["n_shards"], m["n_words"], m["k"],
+                               m.get("n_items"), m.get("capacity"))
+
+
+def _write_meta(path: str, n_shards: int, n_words: int, k: int,
+                n_items: int | None, capacity: int | None) -> None:
+    import json
+
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"n_shards": n_shards, "n_words": n_words, "k": k,
+                   "n_items": n_items, "capacity": capacity}, fh)
+    os.replace(tmp, os.path.join(path, "_META"))
+
+
 def build_sharded_bloom(
     df: DataFrame,
     col: str = "url",
@@ -189,11 +237,24 @@ def build_sharded_bloom(
     n_shards: int | None = None,
     expected_items: int | None = None,
     fpp: float = 0.01,
+    reuse_existing: bool = False,
+    headroom: float = 1.0,
 ) -> ShardedBloomSidecar:
     """Distributed partitioned Bloom build: one shuffle of (shard, hash)
     pairs; each task accumulates dense local bitsets for its shards and
-    publishes one ``.npy`` per shard (tmp + atomic rename)."""
+    publishes one ``.npy`` per shard (tmp + atomic rename).
+
+    ``reuse_existing=True`` returns the completed sidecar already at
+    ``path`` (via its ``_META`` marker) instead of rebuilding.
+    ``headroom`` over-sizes the layout (e.g. 2.0 = room to double) so the
+    sidecar can then be maintained INCREMENTALLY with
+    ``update_sharded_bloom`` instead of rebuilt per round — the
+    carried-state shape."""
     spark = df.sparkSession
+    if reuse_existing and path is not None:
+        existing = load_sharded_bloom(path)
+        if existing is not None:
+            return existing
     if path is None:
         path = tempfile.mkdtemp(prefix="bloom_sidecar_")
     os.makedirs(path, exist_ok=True)
@@ -201,8 +262,9 @@ def build_sharded_bloom(
         n_shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if expected_items is None:
         expected_items = df.count()
+    capacity = max(1, int(expected_items * headroom))
     # size each shard for its expected uniform load + 20% skew headroom
-    per_shard = max(64, int(expected_items / n_shards * 1.2) + 64)
+    per_shard = max(64, int(capacity / n_shards * 1.2) + 64)
     n_words, k = _params(per_shard, fpp)
     m_bits = n_words * 64
 
@@ -213,6 +275,7 @@ def build_sharded_bloom(
 
     def write_shards(batches):
         local: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
         for pdf in batches:
             for s, grp in pdf.groupby("s"):
                 arr = local.setdefault(int(s), np.zeros(n_words, dtype=np.uint64))
@@ -221,16 +284,100 @@ def build_sharded_bloom(
                 w = (pos >> np.uint64(6)).astype(np.int64)
                 bits = np.uint64(1) << (pos & np.uint64(63))
                 np.bitwise_or.at(arr, w, bits)
+                counts[int(s)] = counts.get(int(s), 0) + len(hv)
         for s, arr in local.items():
             final = _shard_file(path, s)
             fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
             with os.fdopen(fd, "wb") as fh:
                 np.save(fh, arr.view(np.int64))
             os.replace(tmp, final)
-        yield pd.DataFrame({"s": list(local), "n": [1] * len(local)})
+        yield pd.DataFrame({"s": list(local), "n": [counts[s] for s in local]})
 
-    data.mapInPandas(write_shards, schema="s int, n int").count()
-    return ShardedBloomSidecar(path, n_shards, n_words, k)
+    # one row per shard — the sum is the actual inserted row count (the
+    # fill accounting ``update_sharded_bloom`` advances), free with the
+    # action that drives the write
+    inserted = int(data.mapInPandas(
+        write_shards, schema="s int, n long").toPandas()["n"].sum())
+    # marker written LAST: its presence certifies every shard file landed
+    _write_meta(path, n_shards, n_words, k, inserted, capacity)
+    return ShardedBloomSidecar(path, n_shards, n_words, k,
+                               inserted, capacity)
+
+
+def update_sharded_bloom(
+    sidecar: ShardedBloomSidecar, df: DataFrame, col: str = "url"
+) -> ShardedBloomSidecar:
+    """Incremental carried-state maintenance: OR the delta's bits into a
+    COPY-ON-WRITE successor of ``sidecar``. Only shards the delta touches
+    are rewritten; every untouched shard file is hard-linked into the new
+    version directory (copy fallback across filesystems), so the cost is
+    O(delta + touched shards), not O(seen) — at 10^10 URLs a per-round
+    delta of 10^7 touches each of K=4096 shards with ~2.4k keys and moves
+    ~12 GB of shard file I/O in the worst case, vs a full 10^10-row
+    rebuild shuffle. The old path stays intact until the caller destroys
+    it: worker-side shard LRUs key on (path, shard), so the fresh path
+    invalidates them naturally, and in-flight probes of the old version
+    stay consistent (same reason the full rebuild used a fresh path).
+
+    Layout (n_shards, n_words, k) is preserved, so the result is
+    bit-identical to building old ∪ delta at the same layout (asserted in
+    tests/test_bloom_seen.py). Check ``overfull`` afterwards: past the
+    build-time capacity the FPR degrades (cost, never results — the
+    exact confirm join guarantees that) and the maintainer should do a
+    fresh full build with more headroom."""
+    old_path = sidecar.path
+    n_shards, n_words, k = sidecar.n_shards, sidecar.n_words, sidecar.k
+    m_bits = n_words * 64
+    new_path = tempfile.mkdtemp(prefix="bloom_sidecar_")
+
+    data = df.select(
+        shard_of(F.col(col), n_shards).alias("s"),
+        F.xxhash64(F.col(col)).alias("h"),
+    ).repartition(n_shards, "s")
+
+    def or_into(batches):
+        local: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            for s, grp in pdf.groupby("s"):
+                arr = local.get(int(s))
+                if arr is None:
+                    f = _shard_file(old_path, int(s))
+                    arr = (np.load(f).view(np.uint64).copy()
+                           if os.path.exists(f)
+                           else np.zeros(n_words, dtype=np.uint64))
+                    local[int(s)] = arr
+                hv = grp["h"].to_numpy(dtype=np.int64).view(np.uint64)
+                pos = _positions(hv, k, m_bits).ravel()
+                w = (pos >> np.uint64(6)).astype(np.int64)
+                bits = np.uint64(1) << (pos & np.uint64(63))
+                np.bitwise_or.at(arr, w, bits)
+                counts[int(s)] = counts.get(int(s), 0) + len(hv)
+        for s, arr in local.items():
+            fd, tmp = tempfile.mkstemp(dir=new_path, suffix=".tmp")
+            with os.fdopen(fd, "wb") as fh:
+                np.save(fh, arr.view(np.int64))
+            os.replace(tmp, _shard_file(new_path, s))
+        yield pd.DataFrame({"s": list(local), "n": [counts[s] for s in local]})
+
+    # one row per touched shard — aggregate-sized collect
+    touched = data.mapInPandas(or_into, schema="s int, n long").toPandas()
+    touched_ids = set(int(s) for s in touched["s"])
+    for s in range(n_shards):
+        if s in touched_ids:
+            continue
+        src = _shard_file(old_path, s)
+        if os.path.exists(src):
+            dst = _shard_file(new_path, s)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+    n_items = (None if sidecar.n_items is None
+               else sidecar.n_items + int(touched["n"].sum()))
+    _write_meta(new_path, n_shards, n_words, k, n_items, sidecar.capacity)
+    return ShardedBloomSidecar(new_path, n_shards, n_words, k,
+                               n_items, sidecar.capacity)
 
 
 def _params(expected_items: int, fpp: float) -> tuple[int, int]:
