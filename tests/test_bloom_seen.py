@@ -217,6 +217,65 @@ def test_sharded_cuckoo_delete(spark):
         sidecar.destroy()
 
 
+def test_sharded_cuckoo_incremental_update_represents_union(spark):
+    """update_sharded_cuckoo REPRESENTS exactly what a full rebuild of
+    old ∪ delta at the same layout represents: per-shard canonical
+    (bucket, fp) code sets equal (slot arrangement may differ — cuckoo
+    placement is insertion-order dependent; answers cannot), no false
+    negatives, fill accounting advances, old version intact."""
+    import numpy as np
+
+    from webcrawler_spark.functions.cuckoo import (
+        _canonical_codes, _shard_file, build_sharded_cuckoo,
+        load_sharded_cuckoo, update_sharded_cuckoo)
+
+    _, seen = _cand_seen(spark)
+    base = seen.filter(F.xxhash64("url") % 3 != 0)
+    delta = seen.filter(F.xxhash64("url") % 3 == 0)
+    total = seen.count()
+    n_shards = 13
+    s_full = build_sharded_cuckoo(seen, "url", n_shards=n_shards,
+                                  expected_items=total, headroom=2.0)
+    s_base = build_sharded_cuckoo(base, "url", n_shards=n_shards,
+                                  expected_items=total, headroom=2.0)
+    s_upd = update_sharded_cuckoo(s_base, delta, "url")
+    try:
+        assert (s_upd.n_shards, s_upd.m_buckets) == \
+            (s_full.n_shards, s_full.m_buckets)
+        import os
+        for s in range(n_shards):
+            ff, fu = _shard_file(s_full.path, s), _shard_file(s_upd.path, s)
+            have_f, have_u = os.path.exists(ff), os.path.exists(fu)
+            assert have_f == have_u, f"shard {s} presence differs"
+            if not have_f:
+                continue
+            with np.load(ff) as z:
+                codes_f = _canonical_codes(z["table"], z["stash"])
+            with np.load(fu) as z:
+                codes_u = _canonical_codes(z["table"], z["stash"])
+            assert codes_f == codes_u, f"shard {s} represented sets differ"
+        # no false negatives through the updated sidecar
+        n_fn = seen.filter(~s_upd.probe(F.col("url"))).count()
+        assert n_fn == 0
+        # accounting: capacity preserved, n_items advanced, successor at
+        # a fresh path with the old version still loadable
+        assert s_upd.capacity == s_base.capacity
+        assert s_upd.n_items > s_base.n_items
+        assert s_upd.path != s_base.path
+        assert load_sharded_cuckoo(s_base.path) is not None
+        # a delta re-applied to the successor is a no-op on the
+        # represented set (set semantics: already-present codes skipped)
+        s_upd2 = update_sharded_cuckoo(s_upd, delta, "url")
+        try:
+            assert s_upd2.n_items == s_upd.n_items
+        finally:
+            s_upd2.destroy()
+    finally:
+        s_full.destroy()
+        s_base.destroy()
+        s_upd.destroy()
+
+
 @pytest.mark.slow
 def test_cuckoo_crawl_matches_simulator(spark, tmp_path_factory):
     """End-to-end with the cuckoo sidecar selected: identical seen set and

@@ -765,11 +765,17 @@ class CrawlEngine:
             # path, so stale shards age out of the LRU naturally).
             from webcrawler_spark.functions.bloom import (
                 build_sharded_bloom, update_sharded_bloom)
-            from webcrawler_spark.functions.cuckoo import build_sharded_cuckoo
+            from webcrawler_spark.functions.cuckoo import (
+                build_sharded_cuckoo, update_sharded_cuckoo)
 
             old = self._sidecar
             if self.cfg.seen_filter == "cuckoo":
-                self._sidecar = build_sharded_cuckoo(self.seen, "url")
+                if old is not None and not old.overfull:
+                    self._sidecar = update_sharded_cuckoo(
+                        old, self._seen_new, "url")
+                else:
+                    self._sidecar = build_sharded_cuckoo(
+                        self.seen, "url", headroom=2.0)
             elif old is not None and not old.overfull:
                 self._sidecar = update_sharded_bloom(old, self._seen_new, "url")
             else:

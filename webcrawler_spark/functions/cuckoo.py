@@ -36,6 +36,17 @@ Build is one shuffle of (shard, hash) pairs — identical dataflow to
 (rank-based placement into i1 then i2 via argsort/cumcount; only the
 residual overflow walks the classic kick loop), and each shard publishes
 one ``.npz`` via tmp-file + atomic rename.
+
+Like the Bloom sibling, the sidecar is maintained INCREMENTALLY:
+``update_sharded_cuckoo`` inserts only the per-round seen delta into a
+copy-on-write successor version (untouched shards hard-link), a
+``_META`` marker written last certifies completed builds
+(``load_sharded_cuckoo`` reopens carried state across drivers), and fill
+accounting (``n_items`` vs the sizing ``capacity``) signals when a fresh
+full build with more headroom is due. Cuckoo placement is not bit-stable
+under insertion order, but the REPRESENTED SET — the min-bucket-canonical
+``(bucket, fp)`` codes across table slots and stash — is order-invariant,
+which is what the incremental-update test asserts against a full rebuild.
 """
 
 from __future__ import annotations
@@ -152,6 +163,19 @@ def _insert_all(table: np.ndarray, hv: np.ndarray) -> list[int]:
     return stash
 
 
+def _canonical_codes(table: np.ndarray, stash: np.ndarray) -> set[int]:
+    """The set a shard REPRESENTS, invariant under insertion order: every
+    stored fingerprint (table slot or stash entry) as its min-bucket
+    canonical code ``min(i, partner(i, fp)) << 16 | fp``. Two shards with
+    equal canonical-code sets answer every ``_contains`` query equally."""
+    m = table.shape[0]
+    i, slot = np.nonzero(table)
+    fp = table[i, slot]
+    codes = set(_stash_code(i.astype(np.int64), fp, m).tolist())
+    codes.update(int(c) for c in stash)
+    return codes
+
+
 def _contains(table: np.ndarray, stash: np.ndarray, hv: np.ndarray) -> np.ndarray:
     m = table.shape[0]
     fp = _fp_of(hv)
@@ -203,10 +227,25 @@ class ShardedCuckooSidecar:
     drop-in alternative to ``ShardedBloomSidecar`` (same ``probe``
     contract; additionally supports ``delete``)."""
 
-    def __init__(self, path: str, n_shards: int, m_buckets: int):
+    def __init__(self, path: str, n_shards: int, m_buckets: int,
+                 n_items: int | None = None, capacity: int | None = None):
         self.path = path
         self.n_shards = n_shards
         self.m_buckets = m_buckets  # buckets per shard (power of two)
+        # fill accounting for the incremental-update path, same contract
+        # as the Bloom sibling: n_items counts fingerprints resident,
+        # capacity what the layout was SIZED for. Past capacity the load
+        # factor approaches the cuckoo limit (~0.95 at 4 slots) and kick
+        # chains start stashing — a cost signal only (the exact confirm
+        # join guarantees results); ``overfull`` tells the maintainer to
+        # do a fresh full build with more headroom.
+        self.n_items = n_items
+        self.capacity = capacity
+
+    @property
+    def overfull(self) -> bool:
+        return (self.n_items is not None and self.capacity is not None
+                and self.n_items > self.capacity)
 
     def might_contain(self, hash_col: Column, shard_col: Column) -> Column:
         path, m = self.path, self.m_buckets
@@ -288,10 +327,41 @@ class ShardedCuckooSidecar:
             .agg(F.sum("n").alias("n"))
             .collect()
         )
-        return int(out[0]["n"] or 0)
+        removed = int(out[0]["n"] or 0)
+        if self.n_items is not None:
+            self.n_items = max(0, self.n_items - removed)
+            _write_meta(self.path, self.n_shards, self.m_buckets,
+                        self.n_items, self.capacity)
+        return removed
 
     def destroy(self):
         shutil.rmtree(self.path, ignore_errors=True)
+
+
+def load_sharded_cuckoo(path: str) -> ShardedCuckooSidecar | None:
+    """Open a previously built sidecar from its ``_META`` marker (written
+    last, after every shard file's atomic rename — presence certifies the
+    build completed). Returns None if no completed build is at ``path``."""
+    meta_f = os.path.join(path, "_META")
+    if not os.path.exists(meta_f):
+        return None
+    import json
+
+    with open(meta_f) as fh:
+        m = json.load(fh)
+    return ShardedCuckooSidecar(path, m["n_shards"], m["m_buckets"],
+                                m.get("n_items"), m.get("capacity"))
+
+
+def _write_meta(path: str, n_shards: int, m_buckets: int,
+                n_items: int | None, capacity: int | None) -> None:
+    import json
+
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"n_shards": n_shards, "m_buckets": m_buckets,
+                   "n_items": n_items, "capacity": capacity}, fh)
+    os.replace(tmp, os.path.join(path, "_META"))
 
 
 def build_sharded_cuckoo(
@@ -300,12 +370,24 @@ def build_sharded_cuckoo(
     path: str | None = None,
     n_shards: int | None = None,
     expected_items: int | None = None,
+    reuse_existing: bool = False,
+    headroom: float = 1.0,
 ) -> ShardedCuckooSidecar:
     """Distributed partitioned cuckoo build — same one-shuffle dataflow as
     ``build_sharded_bloom``: (shard, hash) pairs co-locate under a
     shard-keyed repartition; each task bulk-inserts its shards' hashes and
-    publishes one ``.npz`` per shard atomically."""
+    publishes one ``.npz`` per shard atomically.
+
+    ``reuse_existing=True`` returns the completed sidecar already at
+    ``path`` (via its ``_META`` marker) instead of rebuilding.
+    ``headroom`` over-sizes the layout (e.g. 2.0 = room to double) so the
+    sidecar can then be maintained incrementally with
+    ``update_sharded_cuckoo`` instead of rebuilt per round."""
     spark = df.sparkSession
+    if reuse_existing and path is not None:
+        existing = load_sharded_cuckoo(path)
+        if existing is not None:
+            return existing
     if path is None:
         path = tempfile.mkdtemp(prefix="cuckoo_sidecar_")
     os.makedirs(path, exist_ok=True)
@@ -313,7 +395,8 @@ def build_sharded_cuckoo(
         n_shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if expected_items is None:
         expected_items = df.count()
-    per_shard = max(_SLOTS, int(expected_items / n_shards * 1.2) + _SLOTS)
+    capacity = max(1, int(expected_items * headroom))
+    per_shard = max(_SLOTS, int(capacity / n_shards * 1.2) + _SLOTS)
     m = _next_pow2((per_shard + _SLOTS - 1) // _SLOTS)
 
     def write_shards(batches):
@@ -322,16 +405,95 @@ def build_sharded_cuckoo(
             for s, grp in pdf.groupby("s"):
                 by_shard.setdefault(int(s), []).append(
                     grp["h"].to_numpy(dtype=np.int64).view(np.uint64))
+        out_s, out_n = [], []
         for s, parts in by_shard.items():
             hv = np.concatenate(parts)
             table = np.zeros((m, _SLOTS), dtype=np.uint16)
             stash = np.array(_insert_all(table, hv), dtype=np.int64)
             _save_shard(path, s, table, stash)
-        yield pd.DataFrame({"s": list(by_shard), "n": [1] * len(by_shard)})
+            out_s.append(s)
+            out_n.append(len(hv))
+        yield pd.DataFrame({"s": out_s, "n": out_n})
 
     data = df.select(
         shard_of(F.col(col), n_shards).alias("s"),
         F.xxhash64(F.col(col)).alias("h"),
     ).repartition(n_shards, "s")
-    data.mapInPandas(write_shards, schema="s int, n int").count()
-    return ShardedCuckooSidecar(path, n_shards, m)
+    # one row per shard — the sum is the inserted row count, free with
+    # the action that drives the write; marker LAST certifies completion
+    inserted = int(data.mapInPandas(
+        write_shards, schema="s int, n long").toPandas()["n"].sum())
+    _write_meta(path, n_shards, m, inserted, capacity)
+    return ShardedCuckooSidecar(path, n_shards, m, inserted, capacity)
+
+
+def update_sharded_cuckoo(
+    sidecar: ShardedCuckooSidecar, df: DataFrame, col: str = "url"
+) -> ShardedCuckooSidecar:
+    """Incremental carried-state maintenance, sibling of
+    ``update_sharded_bloom``: insert the delta's fingerprints into a
+    COPY-ON-WRITE successor of ``sidecar``. Only delta-touched shards are
+    rewritten; untouched shard files hard-link into the new version
+    directory (copy fallback across filesystems) — O(delta + touched
+    shards), not O(seen). The old path stays intact until the caller
+    destroys it (worker shard LRUs key on (path, shard), so in-flight
+    probes of the old version stay consistent).
+
+    Delta keys whose ``(bucket, fp)`` code is already represented are
+    skipped (``_contains`` pre-check), preserving the filter's
+    set-of-fingerprints semantics — so the successor REPRESENTS exactly
+    the canonical-code set a full rebuild of old ∪ delta at the same
+    layout would (asserted in tests/test_bloom_seen.py; slot arrangement
+    may differ, answers cannot). ``n_items`` advances by the count of
+    codes actually inserted; check ``overfull`` afterwards."""
+    old_path = sidecar.path
+    n_shards, m = sidecar.n_shards, sidecar.m_buckets
+    new_path = tempfile.mkdtemp(prefix="cuckoo_sidecar_")
+
+    def ins_into(batches):
+        by_shard: dict[int, list[np.ndarray]] = {}
+        for pdf in batches:
+            for s, grp in pdf.groupby("s"):
+                by_shard.setdefault(int(s), []).append(
+                    grp["h"].to_numpy(dtype=np.int64).view(np.uint64))
+        out_s, out_n = [], []
+        for s, parts in by_shard.items():
+            hv = np.concatenate(parts)
+            table, stash = _load_shard(old_path, s, m)
+            table = table.copy()
+            # skip keys the shard already represents (set semantics);
+            # _insert_all dedups the rest within the delta itself
+            fresh = hv[~_contains(table, stash, hv)]
+            extra = _insert_all(table, fresh)
+            if extra:
+                stash = np.concatenate(
+                    [stash, np.array(extra, dtype=np.int64)])
+            _save_shard(new_path, s, table, stash)
+            out_s.append(s)
+            # count of canonical codes actually added = unique fresh codes
+            fp = _fp_of(fresh)
+            codes = _stash_code(_i1_of(fresh, m), fp, m)
+            out_n.append(len(np.unique(codes)))
+        yield pd.DataFrame({"s": out_s, "n": out_n})
+
+    data = df.select(
+        shard_of(F.col(col), n_shards).alias("s"),
+        F.xxhash64(F.col(col)).alias("h"),
+    ).repartition(n_shards, "s")
+    touched = data.mapInPandas(ins_into, schema="s int, n long").toPandas()
+    touched_ids = set(int(s) for s in touched["s"])
+    for s in range(n_shards):
+        if s in touched_ids:
+            continue
+        src = _shard_file(old_path, s)
+        if os.path.exists(src):
+            dst = _shard_file(new_path, s)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+    n_items = (None if sidecar.n_items is None
+               else sidecar.n_items + int(touched["n"].sum()))
+    _write_meta(new_path, n_shards, m, n_items, sidecar.capacity)
+    return ShardedCuckooSidecar(new_path, n_shards, m,
+                                n_items, sidecar.capacity)
