@@ -146,6 +146,42 @@ def test_bloom_crawl_matches_simulator(spark, tmp_path_factory):
     assert epages == spages
 
 
+@pytest.mark.slow
+def test_bloom_crawl_resume_reuses_sidecar(spark, tmp_path_factory):
+    """Kill-and-resume with the prefilter on: the resumed driver REOPENS
+    the persisted sidecar version from the manifest (carried state — no
+    full rebuild) and still finishes with the simulator's exact seen set
+    and trace. The persisted version was refreshed at a truncation at or
+    after the resume cursor, i.e. a superset of committed seen — the test
+    proves supersets stay result-invariant end to end."""
+    wg, robots = make_webgraph(n_hosts=5, pages_per_host_base=6)
+    sim = simulate(wg, robots, list(SEED_URLS), max_rounds=120)
+    root = str(tmp_path_factory.mktemp("bloom_resume"))
+    wg_df, robots_df = spark.createDataFrame(wg), spark.createDataFrame(robots)
+    # phase 1: "crash" after 6 rounds, committing every 2
+    eng1 = CrawlEngine(
+        spark, wg_df, robots_df, list(SEED_URLS),
+        CrawlConfig(store_root=root, max_rounds=6, checkpoint_every=2,
+                    collect_metrics=False, use_bloom_prefilter=True),
+    )
+    eng1.run()
+    eng2 = CrawlEngine(
+        spark, wg_df, robots_df, list(SEED_URLS),
+        CrawlConfig(store_root=root, max_rounds=120, checkpoint_every=4,
+                    collect_metrics=False, use_bloom_prefilter=True),
+        resume=True,
+    )
+    # the carried filter came back from the manifest pointer, not a rebuild
+    assert eng2._sidecar is not None
+    assert eng2._sidecar.path == eng2.store.get_meta("sidecar_path")
+    assert eng2._sidecar.path.startswith(root)
+    eng2.run()
+    eseen = {r["url"] for r in eng2.seen_df().collect()}
+    assert eseen == sim.seen
+    etrace = {(r["time_ms"], r["url"]) for r in eng2.trace_df().collect()}
+    assert etrace == {(t, u) for (t, s, u, h) in sim.trace}
+
+
 def test_parquet_input_round_equals_synth(spark, tmp_path_factory):
     """run_round_kernel over parquet-materialized inputs (the timed bench
     shape — see kernel.py header) returns the same counts as the

@@ -55,6 +55,7 @@ Scale notes (the 1000-executor story):
 from __future__ import annotations
 
 import glob
+import os
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
@@ -343,6 +344,23 @@ class CrawlEngine:
         )).localCheckpoint(eager=True)
         hs = self.spark.read.parquet(f"{self.store.root}/host_state/r{last:06d}")
         self.host_state = hs.localCheckpoint(eager=True)
+        # reopen the carried seen-set sidecar if a completed version is
+        # recorded (its _META marker certifies completion). It was last
+        # refreshed at a truncation AT OR AFTER the resume cursor, i.e. it
+        # is a superset of the committed seen set — safe (false negatives
+        # impossible; extras just route through the exact confirm join).
+        # _seen_new stays empty for the same reason. Missing/incomplete →
+        # sidecar stays None and the first truncation full-builds.
+        if self.cfg.use_bloom_prefilter:
+            sp = self.store.get_meta("sidecar_path")
+            if sp:
+                if self.cfg.seen_filter == "cuckoo":
+                    from webcrawler_spark.functions.cuckoo import (
+                        load_sharded_cuckoo as _load)
+                else:
+                    from webcrawler_spark.functions.bloom import (
+                        load_sharded_bloom as _load)
+                self._sidecar = _load(sp)
 
     # ------------------------------------------------------------------
     # one sub-step at logical time t; returns number of URLs fetched
@@ -768,19 +786,31 @@ class CrawlEngine:
             from webcrawler_spark.functions.cuckoo import (
                 build_sharded_cuckoo, update_sharded_cuckoo)
 
+            # versions live under the snapshot store so a resumed driver
+            # reopens the carried filter instead of rebuilding it
+            # (_load_state). The pointer is recorded BEFORE the old
+            # version is destroyed; a crash in between leaves the meta
+            # pointing at a completed build. Truncation precedes the
+            # round's commit, so any persisted version is a SUPERSET of
+            # every committed seen state — supersets only add
+            # confirm-join traffic, never false negatives.
+            sdir = os.path.join(self.store.root, "sidecar")
+            os.makedirs(sdir, exist_ok=True)
             old = self._sidecar
             if self.cfg.seen_filter == "cuckoo":
                 if old is not None and not old.overfull:
                     self._sidecar = update_sharded_cuckoo(
-                        old, self._seen_new, "url")
+                        old, self._seen_new, "url", dir=sdir)
                 else:
                     self._sidecar = build_sharded_cuckoo(
-                        self.seen, "url", headroom=2.0)
+                        self.seen, "url", headroom=2.0, dir=sdir)
             elif old is not None and not old.overfull:
-                self._sidecar = update_sharded_bloom(old, self._seen_new, "url")
+                self._sidecar = update_sharded_bloom(
+                    old, self._seen_new, "url", dir=sdir)
             else:
                 self._sidecar = build_sharded_bloom(
-                    self.seen, "url", fpp=0.01, headroom=2.0)
+                    self.seen, "url", fpp=0.01, headroom=2.0, dir=sdir)
+            self.store.set_meta(sidecar_path=self._sidecar.path)
             if old is not None:
                 old.destroy()
             self._seen_new = self.spark.createDataFrame([], "url string")

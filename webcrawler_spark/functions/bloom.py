@@ -239,6 +239,7 @@ def build_sharded_bloom(
     fpp: float = 0.01,
     reuse_existing: bool = False,
     headroom: float = 1.0,
+    dir: str | None = None,
 ) -> ShardedBloomSidecar:
     """Distributed partitioned Bloom build: one shuffle of (shard, hash)
     pairs; each task accumulates dense local bitsets for its shards and
@@ -256,7 +257,9 @@ def build_sharded_bloom(
         if existing is not None:
             return existing
     if path is None:
-        path = tempfile.mkdtemp(prefix="bloom_sidecar_")
+        # ``dir`` roots the version directory (e.g. the snapshot store's
+        # sidecar/ area so carried state survives driver restarts)
+        path = tempfile.mkdtemp(prefix="bloom_sidecar_", dir=dir)
     os.makedirs(path, exist_ok=True)
     if n_shards is None:
         n_shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -305,7 +308,8 @@ def build_sharded_bloom(
 
 
 def update_sharded_bloom(
-    sidecar: ShardedBloomSidecar, df: DataFrame, col: str = "url"
+    sidecar: ShardedBloomSidecar, df: DataFrame, col: str = "url",
+    dir: str | None = None,
 ) -> ShardedBloomSidecar:
     """Incremental carried-state maintenance: OR the delta's bits into a
     COPY-ON-WRITE successor of ``sidecar``. Only shards the delta touches
@@ -328,7 +332,7 @@ def update_sharded_bloom(
     old_path = sidecar.path
     n_shards, n_words, k = sidecar.n_shards, sidecar.n_words, sidecar.k
     m_bits = n_words * 64
-    new_path = tempfile.mkdtemp(prefix="bloom_sidecar_")
+    new_path = tempfile.mkdtemp(prefix="bloom_sidecar_", dir=dir)
 
     data = df.select(
         shard_of(F.col(col), n_shards).alias("s"),

@@ -372,6 +372,7 @@ def build_sharded_cuckoo(
     expected_items: int | None = None,
     reuse_existing: bool = False,
     headroom: float = 1.0,
+    dir: str | None = None,
 ) -> ShardedCuckooSidecar:
     """Distributed partitioned cuckoo build — same one-shuffle dataflow as
     ``build_sharded_bloom``: (shard, hash) pairs co-locate under a
@@ -389,7 +390,9 @@ def build_sharded_cuckoo(
         if existing is not None:
             return existing
     if path is None:
-        path = tempfile.mkdtemp(prefix="cuckoo_sidecar_")
+        # ``dir`` roots the version directory (e.g. the snapshot store's
+        # sidecar/ area so carried state survives driver restarts)
+        path = tempfile.mkdtemp(prefix="cuckoo_sidecar_", dir=dir)
     os.makedirs(path, exist_ok=True)
     if n_shards is None:
         n_shards = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -428,7 +431,8 @@ def build_sharded_cuckoo(
 
 
 def update_sharded_cuckoo(
-    sidecar: ShardedCuckooSidecar, df: DataFrame, col: str = "url"
+    sidecar: ShardedCuckooSidecar, df: DataFrame, col: str = "url",
+    dir: str | None = None,
 ) -> ShardedCuckooSidecar:
     """Incremental carried-state maintenance, sibling of
     ``update_sharded_bloom``: insert the delta's fingerprints into a
@@ -448,7 +452,7 @@ def update_sharded_cuckoo(
     codes actually inserted; check ``overfull`` afterwards."""
     old_path = sidecar.path
     n_shards, m = sidecar.n_shards, sidecar.m_buckets
-    new_path = tempfile.mkdtemp(prefix="cuckoo_sidecar_")
+    new_path = tempfile.mkdtemp(prefix="cuckoo_sidecar_", dir=dir)
 
     def ins_into(batches):
         by_shard: dict[int, list[np.ndarray]] = {}
