@@ -215,6 +215,8 @@ def load_sharded_bloom(path: str) -> ShardedBloomSidecar | None:
 
     with open(meta_f) as fh:
         m = json.load(fh)
+    if "n_words" not in m:  # a _META of the other layout (cuckoo)
+        return None
     return ShardedBloomSidecar(path, m["n_shards"], m["n_words"], m["k"],
                                m.get("n_items"), m.get("capacity"))
 

@@ -349,6 +349,8 @@ def load_sharded_cuckoo(path: str) -> ShardedCuckooSidecar | None:
 
     with open(meta_f) as fh:
         m = json.load(fh)
+    if "m_buckets" not in m:  # a _META of the other layout (bloom)
+        return None
     return ShardedCuckooSidecar(path, m["n_shards"], m["m_buckets"],
                                 m.get("n_items"), m.get("capacity"))
 
