@@ -115,6 +115,59 @@ def test_sharded_bloom_incremental_update_bit_identical(spark):
         s_upd.destroy()
 
 
+def test_sidecar_empty_delta_update_is_noop(spark):
+    """An empty delta hands the ORIGINAL version back (no copy-on-write
+    churn) for both layouts; a stale-pointer resume discards a sidecar
+    that is a SUBSET of committed seen (probe-validation at load)."""
+    from webcrawler_spark.functions.bloom import update_sharded_bloom
+    from webcrawler_spark.functions.cuckoo import (
+        build_sharded_cuckoo, update_sharded_cuckoo)
+
+    _, seen = _cand_seen(spark)
+    empty = spark.createDataFrame([], "url string")
+    b = build_sharded_bloom(seen, "url", n_shards=5)
+    c = build_sharded_cuckoo(seen, "url", n_shards=5)
+    try:
+        assert update_sharded_bloom(b, empty, "url") is b
+        assert update_sharded_cuckoo(c, empty, "url") is c
+    finally:
+        b.destroy()
+        c.destroy()
+
+
+def test_cuckoo_delete_then_update_no_resurrection(spark):
+    """update_sharded_cuckoo reads shard files directly (never the probe
+    LRU), so fingerprints evicted by delete() stay deleted through the
+    successor version even after prior probes warmed the cache."""
+    from webcrawler_spark.functions.cuckoo import (
+        build_sharded_cuckoo, update_sharded_cuckoo)
+
+    _, seen = _cand_seen(spark)
+    # same layout as test_sharded_cuckoo_delete: collision-free for this
+    # deterministic fixture (delete of an aliased (bucket, fp) would
+    # legitimately drop the surviving alias — inherent cuckoo semantics)
+    sidecar = build_sharded_cuckoo(seen, "url", n_shards=7)
+    s2 = None
+    try:
+        # warm the worker-side shard caches with a probe pass
+        seen.withColumn("m", sidecar.probe(F.col("url"))).filter("m").count()
+        evict = seen.filter(F.xxhash64("url") % 5 == 0)
+        sidecar.delete(evict, "url")
+        delta = spark.createDataFrame(
+            [("http://hnew.gov.si/x",)], "url string")
+        s2 = update_sharded_cuckoo(sidecar, delta, "url")
+        n_back = evict.withColumn(
+            "m", s2.probe(F.col("url"))).filter("m").count()
+        assert n_back == 0, "deleted fingerprints resurrected by update"
+        assert s2.probe is not None and s2.path != sidecar.path
+        n_fn = seen.subtract(evict).filter(~s2.probe(F.col("url"))).count()
+        assert n_fn == 0
+    finally:
+        sidecar.destroy()
+        if s2 is not None:
+            s2.destroy()
+
+
 def test_bloom_kernel_admission_equality(spark):
     a = admission_kernel(spark, 200_000, 100_000, use_bloom=False)
     b = admission_kernel(spark, 200_000, 100_000, use_bloom=True)
@@ -180,6 +233,25 @@ def test_bloom_crawl_resume_reuses_sidecar(spark, tmp_path_factory):
     assert eseen == sim.seen
     etrace = {(r["time_ms"], r["url"]) for r in eng2.trace_df().collect()}
     assert etrace == {(t, u) for (t, s, u, h) in sim.trace}
+    # stale-pointer path: point the manifest at a sidecar that is a
+    # SUBSET of committed seen (e.g. left behind by intervening runs with
+    # the prefilter off) — resume must probe-validate and DISCARD it
+    # (false negatives would re-admit seen URLs), falling back to a full
+    # build at the first truncation
+    bogus = build_sharded_bloom(
+        spark.createDataFrame([("http://unrelated.gov.si/",)], "url string"),
+        "url", n_shards=3)
+    try:
+        eng2.store.set_meta(sidecar_path=bogus.path)
+        eng3 = CrawlEngine(
+            spark, wg_df, robots_df, list(SEED_URLS),
+            CrawlConfig(store_root=root, max_rounds=120, checkpoint_every=4,
+                        collect_metrics=False, use_bloom_prefilter=True),
+            resume=True,
+        )
+        assert eng3._sidecar is None
+    finally:
+        bogus.destroy()
 
 
 def test_parquet_input_round_equals_synth(spark, tmp_path_factory):

@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
@@ -361,6 +362,19 @@ class CrawlEngine:
                     from webcrawler_spark.functions.bloom import (
                         load_sharded_bloom as _load)
                 self._sidecar = _load(sp)
+            if self._sidecar is not None:
+                # validate resume-time: the reopened filter must contain
+                # EVERY committed-seen URL (false negatives break dedup
+                # outright; the superset argument above assumes the
+                # prefilter was on for every intervening run — a run with
+                # it off commits seen without advancing the pointer). One
+                # Arrow-probe pass over seen, same cost as the build's
+                # hash pass, only paid at resume. Any miss → discard and
+                # let the first truncation full-build.
+                n_fn = self.seen.filter(
+                    ~self._sidecar.probe(F.col("url"))).count()
+                if n_fn > 0:
+                    self._sidecar = None
 
     # ------------------------------------------------------------------
     # one sub-step at logical time t; returns number of URLs fetched
@@ -811,8 +825,18 @@ class CrawlEngine:
                 self._sidecar = build_sharded_bloom(
                     self.seen, "url", fpp=0.01, headroom=2.0, dir=sdir)
             self.store.set_meta(sidecar_path=self._sidecar.path)
-            if old is not None:
+            # an empty delta hands the SAME version back — don't destroy it
+            if old is not None and old is not self._sidecar:
                 old.destroy()
+            # GC orphan version dirs (crash between mkdtemp and _META, or
+            # a predecessor left behind when the loader rejected it on
+            # resume): anything under sidecar/ that is not the live
+            # version. Safe single-driver: in-flight probes only ever
+            # target the live path (old was destroyed just above anyway).
+            live = os.path.basename(self._sidecar.path)
+            for d in os.listdir(sdir):
+                if d != live:
+                    shutil.rmtree(os.path.join(sdir, d), ignore_errors=True)
             self._seen_new = self.spark.createDataFrame([], "url string")
 
     # ------------------------------------------------------------------

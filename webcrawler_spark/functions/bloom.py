@@ -202,20 +202,54 @@ class ShardedBloomSidecar:
         shutil.rmtree(self.path, ignore_errors=True)
 
 
-def load_sharded_bloom(path: str) -> ShardedBloomSidecar | None:
-    """Open a previously built sidecar from its ``_META`` marker (written
-    last, after every shard file's atomic rename — so its presence means
-    the build completed). Returns None if no completed build is at
-    ``path``. This is how a resumed driver (or the next BSP round) picks
-    up the carried seen-set state without rebuilding it."""
+# -- shared version-directory helpers (used by the cuckoo sibling too) --
+
+def write_sidecar_meta(path: str, meta: dict) -> None:
+    """Publish a version's ``_META`` marker atomically, LAST — after every
+    shard file's rename — so its presence certifies a completed build."""
+    import json
+
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "_META"))
+
+
+def read_sidecar_meta(path: str) -> dict | None:
     meta_f = os.path.join(path, "_META")
     if not os.path.exists(meta_f):
         return None
     import json
 
     with open(meta_f) as fh:
-        m = json.load(fh)
-    if "n_words" not in m:  # a _META of the other layout (cuckoo)
+        return json.load(fh)
+
+
+def link_untouched_shards(old_path: str, new_path: str, shard_file,
+                          n_shards: int, touched_ids: set[int]) -> None:
+    """Copy-on-write plumbing for incremental updates: hard-link every
+    shard file the delta did not touch into the successor version
+    directory (copy fallback across filesystems)."""
+    for s in range(n_shards):
+        if s in touched_ids:
+            continue
+        src = shard_file(old_path, s)
+        if os.path.exists(src):
+            dst = shard_file(new_path, s)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+
+
+def load_sharded_bloom(path: str) -> ShardedBloomSidecar | None:
+    """Open a previously built sidecar from its ``_META`` marker (written
+    last, after every shard file's atomic rename — so its presence means
+    the build completed). Returns None if no completed build is at
+    ``path``. This is how a resumed driver (or the next BSP round) picks
+    up the carried seen-set state without rebuilding it."""
+    m = read_sidecar_meta(path)
+    if m is None or "n_words" not in m:  # absent, or the cuckoo layout
         return None
     return ShardedBloomSidecar(path, m["n_shards"], m["n_words"], m["k"],
                                m.get("n_items"), m.get("capacity"))
@@ -223,13 +257,9 @@ def load_sharded_bloom(path: str) -> ShardedBloomSidecar | None:
 
 def _write_meta(path: str, n_shards: int, n_words: int, k: int,
                 n_items: int | None, capacity: int | None) -> None:
-    import json
-
-    fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"n_shards": n_shards, "n_words": n_words, "k": k,
-                   "n_items": n_items, "capacity": capacity}, fh)
-    os.replace(tmp, os.path.join(path, "_META"))
+    write_sidecar_meta(path, {"n_shards": n_shards, "n_words": n_words,
+                              "k": k, "n_items": n_items,
+                              "capacity": capacity})
 
 
 def build_sharded_bloom(
@@ -256,7 +286,16 @@ def build_sharded_bloom(
     spark = df.sparkSession
     if reuse_existing and path is not None:
         existing = load_sharded_bloom(path)
-        if existing is not None:
+        # layout must match what THIS call would build (a completed build
+        # by different sizing code is not the requested filter). Content
+        # staleness is the caller's contract — like any cached build
+        # artifact, key the path on the inputs' identity.
+        if existing is not None and (
+            n_shards is None or existing.n_shards == n_shards
+        ) and (
+            expected_items is None
+            or existing.capacity == max(1, int(expected_items * headroom))
+        ):
             return existing
     if path is None:
         # ``dir`` roots the version directory (e.g. the snapshot store's
@@ -369,16 +408,15 @@ def update_sharded_bloom(
     # one row per touched shard — aggregate-sized collect
     touched = data.mapInPandas(or_into, schema="s int, n long").toPandas()
     touched_ids = set(int(s) for s in touched["s"])
-    for s in range(n_shards):
-        if s in touched_ids:
-            continue
-        src = _shard_file(old_path, s)
-        if os.path.exists(src):
-            dst = _shard_file(new_path, s)
-            try:
-                os.link(src, dst)
-            except OSError:
-                shutil.copy2(src, dst)
+    if not touched_ids:
+        # empty delta: the sidecar already represents old ∪ delta — hand
+        # the ORIGINAL back rather than churning a new version (callers
+        # must therefore only destroy the old version when the update
+        # returned a different one)
+        shutil.rmtree(new_path, ignore_errors=True)
+        return sidecar
+    link_untouched_shards(old_path, new_path, _shard_file,
+                          n_shards, touched_ids)
     n_items = (None if sidecar.n_items is None
                else sidecar.n_items + int(touched["n"].sum()))
     _write_meta(new_path, n_shards, n_words, k, n_items, sidecar.capacity)

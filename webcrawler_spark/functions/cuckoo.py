@@ -342,14 +342,10 @@ def load_sharded_cuckoo(path: str) -> ShardedCuckooSidecar | None:
     """Open a previously built sidecar from its ``_META`` marker (written
     last, after every shard file's atomic rename — presence certifies the
     build completed). Returns None if no completed build is at ``path``."""
-    meta_f = os.path.join(path, "_META")
-    if not os.path.exists(meta_f):
-        return None
-    import json
+    from webcrawler_spark.functions.bloom import read_sidecar_meta
 
-    with open(meta_f) as fh:
-        m = json.load(fh)
-    if "m_buckets" not in m:  # a _META of the other layout (bloom)
+    m = read_sidecar_meta(path)
+    if m is None or "m_buckets" not in m:  # absent, or the bloom layout
         return None
     return ShardedCuckooSidecar(path, m["n_shards"], m["m_buckets"],
                                 m.get("n_items"), m.get("capacity"))
@@ -357,13 +353,10 @@ def load_sharded_cuckoo(path: str) -> ShardedCuckooSidecar | None:
 
 def _write_meta(path: str, n_shards: int, m_buckets: int,
                 n_items: int | None, capacity: int | None) -> None:
-    import json
+    from webcrawler_spark.functions.bloom import write_sidecar_meta
 
-    fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"n_shards": n_shards, "m_buckets": m_buckets,
-                   "n_items": n_items, "capacity": capacity}, fh)
-    os.replace(tmp, os.path.join(path, "_META"))
+    write_sidecar_meta(path, {"n_shards": n_shards, "m_buckets": m_buckets,
+                              "n_items": n_items, "capacity": capacity})
 
 
 def build_sharded_cuckoo(
@@ -389,7 +382,14 @@ def build_sharded_cuckoo(
     spark = df.sparkSession
     if reuse_existing and path is not None:
         existing = load_sharded_cuckoo(path)
-        if existing is not None:
+        # layout must match what THIS call would build (see the bloom
+        # sibling); content staleness is the caller's path-keying contract
+        if existing is not None and (
+            n_shards is None or existing.n_shards == n_shards
+        ) and (
+            expected_items is None
+            or existing.capacity == max(1, int(expected_items * headroom))
+        ):
             return existing
     if path is None:
         # ``dir`` roots the version directory (e.g. the snapshot store's
@@ -465,8 +465,19 @@ def update_sharded_cuckoo(
         out_s, out_n = [], []
         for s, parts in by_shard.items():
             hv = np.concatenate(parts)
-            table, stash = _load_shard(old_path, s, m)
-            table = table.copy()
+            # read the shard file DIRECTLY, never through the probe LRU:
+            # delete() rewrites shards in place and can only invalidate
+            # the cache of the executor that ran the delete task — a
+            # cached pre-delete table here would resurrect evicted
+            # fingerprints into the successor version (the Bloom sibling
+            # bypasses its cache for the same reason)
+            f = _shard_file(old_path, s)
+            if os.path.exists(f):
+                with np.load(f) as z:
+                    table, stash = z["table"].copy(), z["stash"]
+            else:
+                table = np.zeros((m, _SLOTS), dtype=np.uint16)
+                stash = np.zeros(0, dtype=np.int64)
             # skip keys the shard already represents (set semantics);
             # _insert_all dedups the rest within the delta itself
             fresh = hv[~_contains(table, stash, hv)]
@@ -488,16 +499,15 @@ def update_sharded_cuckoo(
     ).repartition(n_shards, "s")
     touched = data.mapInPandas(ins_into, schema="s int, n long").toPandas()
     touched_ids = set(int(s) for s in touched["s"])
-    for s in range(n_shards):
-        if s in touched_ids:
-            continue
-        src = _shard_file(old_path, s)
-        if os.path.exists(src):
-            dst = _shard_file(new_path, s)
-            try:
-                os.link(src, dst)
-            except OSError:
-                shutil.copy2(src, dst)
+    if not touched_ids:
+        # empty delta: hand the ORIGINAL version back, no churn (callers
+        # only destroy the old version when the update returned a new one)
+        shutil.rmtree(new_path, ignore_errors=True)
+        return sidecar
+    from webcrawler_spark.functions.bloom import link_untouched_shards
+
+    link_untouched_shards(old_path, new_path, _shard_file,
+                          n_shards, touched_ids)
     n_items = (None if sidecar.n_items is None
                else sidecar.n_items + int(touched["n"].sum()))
     _write_meta(new_path, n_shards, m, n_items, sidecar.capacity)
