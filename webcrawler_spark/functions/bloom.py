@@ -71,6 +71,28 @@ def _positions(hv: np.ndarray, k: int, m_bits: int) -> np.ndarray:
     return np.stack([(h1 + np.uint64(i) * h2) % np.uint64(m_bits) for i in range(k)])
 
 
+def _or_bits(words: np.ndarray, hv: np.ndarray, k: int, m_bits: int) -> None:
+    """Set the k bits of every hash into the bitset, in place — the ONE
+    build-side implementation (dense build, sharded build, incremental
+    update), paired with ``_test_bits`` so set-then-test can never skew."""
+    pos = _positions(hv, k, m_bits).ravel()
+    w = (pos >> np.uint64(6)).astype(np.int64)
+    bits = np.uint64(1) << (pos & np.uint64(63))
+    np.bitwise_or.at(words, w, bits)
+
+
+def _test_bits(words: np.ndarray, hv: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """Membership test for every hash against the bitset (the ONE
+    probe-side implementation; no false negatives vs ``_or_bits`` by
+    construction — property-tested in tests/test_sidecar_properties.py)."""
+    out = np.ones(len(hv), dtype=bool)
+    for pos in _positions(hv, k, m_bits):
+        w = (pos >> np.uint64(6)).astype(np.int64)
+        b = pos & np.uint64(63)
+        out &= (words[w] >> b) & np.uint64(1) != 0
+    return out
+
+
 class BloomSidecar:
     """A broadcast Bloom bitset over ``xxhash64`` values."""
 
@@ -88,12 +110,7 @@ class BloomSidecar:
         def _mc(h: pd.Series) -> pd.Series:
             words = bcast.value
             hv = h.to_numpy(dtype=np.int64).view(np.uint64)
-            out = np.ones(len(hv), dtype=bool)
-            for pos in _positions(hv, k, m_bits):
-                w = (pos >> np.uint64(6)).astype(np.int64)
-                b = pos & np.uint64(63)
-                out &= (words[w] >> b) & np.uint64(1) != 0
-            return pd.Series(out)
+            return pd.Series(_test_bits(words, hv, k, m_bits))
 
         return _mc(hash_col)
 
@@ -182,13 +199,7 @@ class ShardedBloomSidecar:
             for shard in np.unique(sv):
                 words = _load_shard(path, int(shard), n_words)
                 mask = sv == shard
-                hh = hv[mask]
-                res = np.ones(len(hh), dtype=bool)
-                for pos in _positions(hh, k, m_bits):
-                    w = (pos >> np.uint64(6)).astype(np.int64)
-                    b = pos & np.uint64(63)
-                    res &= (words[w] >> b) & np.uint64(1) != 0
-                out[mask] = res
+                out[mask] = _test_bits(words, hv[mask], k, m_bits)
             return pd.Series(out)
 
         return _mc(hash_col, shard_col)
@@ -324,10 +335,7 @@ def build_sharded_bloom(
             for s, grp in pdf.groupby("s"):
                 arr = local.setdefault(int(s), np.zeros(n_words, dtype=np.uint64))
                 hv = grp["h"].to_numpy(dtype=np.int64).view(np.uint64)
-                pos = _positions(hv, k, m_bits).ravel()
-                w = (pos >> np.uint64(6)).astype(np.int64)
-                bits = np.uint64(1) << (pos & np.uint64(63))
-                np.bitwise_or.at(arr, w, bits)
+                _or_bits(arr, hv, k, m_bits)
                 counts[int(s)] = counts.get(int(s), 0) + len(hv)
         for s, arr in local.items():
             final = _shard_file(path, s)
@@ -393,10 +401,7 @@ def update_sharded_bloom(
                            else np.zeros(n_words, dtype=np.uint64))
                     local[int(s)] = arr
                 hv = grp["h"].to_numpy(dtype=np.int64).view(np.uint64)
-                pos = _positions(hv, k, m_bits).ravel()
-                w = (pos >> np.uint64(6)).astype(np.int64)
-                bits = np.uint64(1) << (pos & np.uint64(63))
-                np.bitwise_or.at(arr, w, bits)
+                _or_bits(arr, hv, k, m_bits)
                 counts[int(s)] = counts.get(int(s), 0) + len(hv)
         for s, arr in local.items():
             fd, tmp = tempfile.mkstemp(dir=new_path, suffix=".tmp")
@@ -453,10 +458,7 @@ def build_bloom(
         local = np.zeros(n_words, dtype=np.uint64)
         for pdf in batches:
             hv = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
-            pos = _positions(hv, k, m_bits).ravel()
-            w = (pos >> np.uint64(6)).astype(np.int64)
-            bits = np.uint64(1) << (pos & np.uint64(63))
-            np.bitwise_or.at(local, w, bits)
+            _or_bits(local, hv, k, m_bits)
         nz = np.nonzero(local)[0]
         yield pd.DataFrame({"w": nz, "bit": local[nz].view(np.int64)})
 

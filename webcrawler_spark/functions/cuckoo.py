@@ -214,6 +214,58 @@ def _load_shard(path: str, shard: int, m: int) -> tuple[np.ndarray, np.ndarray]:
     return val
 
 
+def _read_shard_file(path: str, shard: int, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Read a shard file DIRECTLY, never through the probe LRU — for
+    mutators (delete, incremental update). ``_save_shard`` can only
+    invalidate the cache of the worker that ran the write task, so a
+    mutator reading another worker's warm cache would base its rewrite on
+    a pre-mutation table and resurrect removed fingerprints. (Stale probe
+    caches are safe the other way: a superset table yields only false
+    positives, which the exact confirm join absorbs.) Returns a private
+    mutable (table, stash)."""
+    f = _shard_file(path, shard)
+    if os.path.exists(f):
+        with np.load(f) as z:
+            return z["table"].copy(), z["stash"]
+    return (np.zeros((m, _SLOTS), dtype=np.uint16), np.zeros(0, dtype=np.int64))
+
+
+def _delete_from(table: np.ndarray, stash: np.ndarray,
+                 hv: np.ndarray) -> tuple[np.ndarray, int]:
+    """Remove ONE resident copy per key of ``hv`` from the shard
+    (mutating ``table`` in place — callers pass a private copy) and
+    return ``(new_stash, n_removed)``. Entries resident in the stash
+    leave via the stash ONLY (stash codes were never placed in the
+    table, and the fingerprint could alias another URL's table copy);
+    the rest drop one matching table slot from either home bucket."""
+    m = table.shape[0]
+    removed = 0
+    fp = _fp_of(hv)
+    i1 = _i1_of(hv, m)
+    if len(stash):
+        codes = _stash_code(i1, fp, m)
+        stash_list = stash.tolist()
+        dropped = np.zeros(len(hv), dtype=bool)
+        for j, c in enumerate(codes):
+            try:
+                stash_list.remove(int(c))
+            except ValueError:
+                continue
+            dropped[j] = True
+            removed += 1
+        stash = np.array(stash_list, dtype=np.int64)
+        fp, i1 = fp[~dropped], i1[~dropped]
+    i2 = _i2_of(i1, fp, m)
+    for f, a, b in zip(fp, i1, i2):
+        for i in (a, b):
+            sl = np.flatnonzero(table[i] == f)
+            if len(sl):
+                table[i, sl[0]] = 0
+                removed += 1
+                break
+    return stash, removed
+
+
 def _save_shard(path: str, shard: int, table: np.ndarray, stash: np.ndarray) -> None:
     fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
     with os.fdopen(fd, "wb") as fh:
@@ -284,36 +336,12 @@ class ShardedCuckooSidecar:
                         grp["h"].to_numpy(dtype=np.int64).view(np.uint64))
             for s, parts in by_shard.items():
                 hv = np.concatenate(parts)
-                table, stash = _load_shard(path, s, m)
-                table = table.copy()
-                fp = _fp_of(hv)
-                i1 = _i1_of(hv, m)
-                # entries resident in the stash leave via the stash ONLY
-                # (one occurrence per deleted key) — stash codes were never
-                # placed in the table, and the fingerprint could alias
-                # another URL's table copy
-                if len(stash):
-                    codes = _stash_code(i1, fp, m)
-                    stash_list = stash.tolist()
-                    dropped = np.zeros(len(hv), dtype=bool)
-                    for j, c in enumerate(codes):
-                        try:
-                            stash_list.remove(int(c))
-                        except ValueError:
-                            continue
-                        dropped[j] = True
-                        removed += 1
-                    stash = np.array(stash_list, dtype=np.int64)
-                    hv = hv[~dropped]
-                    fp, i1 = fp[~dropped], i1[~dropped]
-                i2 = _i2_of(i1, fp, m)
-                for f, a, b in zip(fp, i1, i2):
-                    for i in (a, b):
-                        sl = np.flatnonzero(table[i] == f)
-                        if len(sl):
-                            table[i, sl[0]] = 0
-                            removed += 1
-                            break
+                # direct file read — a warm probe-LRU entry from before an
+                # earlier delete would resurrect its removals (see
+                # _read_shard_file)
+                table, stash = _read_shard_file(path, s, m)
+                stash, n = _delete_from(table, stash, hv)
+                removed += n
                 _save_shard(path, s, table, stash)
             yield pd.DataFrame({"n": [removed]})
 
@@ -465,19 +493,10 @@ def update_sharded_cuckoo(
         out_s, out_n = [], []
         for s, parts in by_shard.items():
             hv = np.concatenate(parts)
-            # read the shard file DIRECTLY, never through the probe LRU:
-            # delete() rewrites shards in place and can only invalidate
-            # the cache of the executor that ran the delete task — a
-            # cached pre-delete table here would resurrect evicted
-            # fingerprints into the successor version (the Bloom sibling
-            # bypasses its cache for the same reason)
-            f = _shard_file(old_path, s)
-            if os.path.exists(f):
-                with np.load(f) as z:
-                    table, stash = z["table"].copy(), z["stash"]
-            else:
-                table = np.zeros((m, _SLOTS), dtype=np.uint16)
-                stash = np.zeros(0, dtype=np.int64)
+            # direct file read, never the probe LRU (_read_shard_file):
+            # a cached pre-delete table here would resurrect evicted
+            # fingerprints into the successor version
+            table, stash = _read_shard_file(old_path, s, m)
             # skip keys the shard already represents (set semantics);
             # _insert_all dedups the rest within the delta itself
             fresh = hv[~_contains(table, stash, hv)]
