@@ -155,6 +155,26 @@ def _codes_arr(hv: np.ndarray, m: int) -> np.ndarray:
     return _stash_code(_i1_of(hv, m), _fp_of(hv), m)
 
 
+@given(HASHES, HASHES, M_BUCKETS)
+@settings(max_examples=300, deadline=None)
+def test_cuckoo_guarded_delete_leaves_exactly_the_survivor_codes(keep, drop, m):
+    """The delete_guarded rule — skip any eviction whose code a surviving
+    key aliases — leaves the represented set EXACTLY equal to the
+    survivors' codes (blocked evictions are already survivor codes), with
+    no false negatives for survivors even under heavy aliasing. This is
+    the pure-core form of ShardedCuckooSidecar.delete_guarded."""
+    kv, dv = _hv(keep), _hv(drop)
+    ck = _codes_of(kv, m)
+    safe = dv[~np.isin(_codes_arr(dv, m), list(ck))] if len(dv) else dv
+    table = np.zeros((m, _SLOTS), dtype=np.uint16)
+    stash = np.array(_insert_all(table, np.concatenate([kv, dv])),
+                     dtype=np.int64)
+    stash, _ = _delete_from(table, stash, safe)
+    assert _canonical_codes(table, stash) == ck
+    if len(kv):
+        assert _contains(table, stash, kv).all()
+
+
 @given(HASHES, M_BUCKETS)
 @settings(max_examples=150, deadline=None)
 def test_cuckoo_delete_all_empties_the_shard(xs, m):

@@ -80,6 +80,7 @@ MAX_REDIRECT_DEPTH = 3
 DELTA_TABLES = (
     "trace", "page_visits", "consumed", "links", "images",
     "image_captions", "content_map", "page_admissions", "seen", "page_data",
+    "evictions",
 )
 
 
@@ -328,17 +329,66 @@ class CrawlEngine:
         # consumed-without-storing). Subtracting visits dropped such URLs
         # forever, so a resumed run could diverge from a clean one in
         # trace content and per-host timing.
-        gone = self.spark.createDataFrame([], "url string")
-        if trace is not None:
-            gone = gone.unionByName(trace.select("url"))
-        if consumed is not None:
-            gone = gone.unionByName(consumed.select("url"))
-        self.frontier = adm.join(gone, "url", "left_anti").localCheckpoint(eager=True)
+        evictions = self._read_all("evictions")
         seen_extra = self._read_all("seen")
-        seen = adm.select("url")
-        if seen_extra is not None:
-            seen = seen.unionByName(seen_extra.select("url")).distinct()
-        self.seen = seen.localCheckpoint(eager=True)
+        if evictions is None:
+            # append-only reconstruction — the battle-tested path, kept
+            # byte-for-byte for every store without evictions
+            gone = self.spark.createDataFrame([], "url string")
+            if trace is not None:
+                gone = gone.unionByName(trace.select("url"))
+            if consumed is not None:
+                gone = gone.unionByName(consumed.select("url"))
+            self.frontier = adm.join(gone, "url", "left_anti").localCheckpoint(eager=True)
+            seen = adm.select("url")
+            if seen_extra is not None:
+                seen = seen.unionByName(seen_extra.select("url")).distinct()
+            self.seen = seen.localCheckpoint(eager=True)
+        else:
+            # evict_seen ran in this store's history: reconstruction must
+            # be stamp/count-aware, because an evicted-then-relinked URL
+            # has MULTIPLE admission rows and pick/trace rows.
+            # Frontier: a URL is queued iff its admissions outnumber its
+            # picks; every pick emits a trace row (consumed rows — picks
+            # that stored no page — are a subset of traced picks), so
+            # picks count from trace alone. The live row is the LATEST
+            # admission (max seq). Degenerates to the plain anti-join for
+            # urls admitted once.
+            n_picked = (
+                trace.groupBy("url").agg(F.count("*").alias("n_picked"))
+                if trace is not None else None
+            )
+            na = adm.groupBy("url").agg(
+                F.count("*").alias("n_adm"), F.max("seq").alias("seq"))
+            if n_picked is not None:
+                na = na.join(n_picked, "url", "left")
+            else:
+                na = na.withColumn("n_picked", F.lit(None).cast("long"))
+            live = na.filter(
+                F.coalesce(F.col("n_picked"), F.lit(0)) < F.col("n_adm")
+            ).select("url", "seq")
+            self.frontier = adm.join(
+                live, ["url", "seq"], "left_semi").localCheckpoint(eager=True)
+            self.seen = self._stored_seen(
+                adm, seen_extra, evictions).localCheckpoint(eager=True)
+            # visited_pages: a URL counts as visited iff some visit row
+            # postdates its last eviction — in TIME space (round ticks),
+            # because a visit row's per-row seq can belong to an old pick
+            # (redirect landings carry the picker's seq; see evict_seen).
+            # Rows of qualifying URLs are all kept; the set-membership
+            # anti-join at :508 is the only in-memory consumer.
+            if visits is not None:
+                last_ev = evictions.groupBy("url").agg(
+                    F.max("evict_time_ms").alias("evict_time_ms"))
+                vkeep = (
+                    visits.groupBy("url").agg(F.max("time_ms").alias("vt"))
+                    .join(last_ev, "url", "left")
+                    .filter(F.col("evict_time_ms").isNull()
+                            | (F.col("vt") >= F.col("evict_time_ms")))
+                    .select("url")
+                )
+                self.visited_pages = visits.join(
+                    vkeep, "url", "left_semi").localCheckpoint(eager=True)
         cm = self._read_all("content_map")
         self.content_map = (cm if cm is not None else self.spark.createDataFrame(
             [], "fp long, text string, url string, vseq long"
@@ -750,7 +800,12 @@ class CrawlEngine:
             .distinct()
         )
         seen_delta = new_seen.join(self.seen, "url", "left_anti").persist()
-        self._append("seen", seen_delta)
+        # the buffered delta carries a monotone mark stamp (this substep's
+        # post-assignment seq base) so resume can order seen marks against
+        # evict_seen stamps; every stamp here is < any later eviction's
+        # (evictions consume a seq) and > any earlier one
+        self._append("seen", seen_delta.select(
+            "url", F.lit(self._seq_base).alias("seq")))
         self.seen = self.seen.unionByName(seen_delta.select("url"))
         if self._sidecar is not None:
             self._seen_new = self._seen_new.unionByName(seen_delta.select("url"))
@@ -838,6 +893,81 @@ class CrawlEngine:
                 if d != live:
                     shutil.rmtree(os.path.join(sdir, d), ignore_errors=True)
             self._seen_new = self.spark.createDataFrame([], "url string")
+
+    # ------------------------------------------------------------------
+    def evict_seen(self, urls: DataFrame, col: str = "url") -> int:
+        """TTL re-crawl eviction — the capability the cuckoo sidecar
+        layout exists for (functions/cuckoo.py): make already-fetched
+        URLs admissible again, so the next link to them fetches a fresh
+        version. The reference crawler is one-shot; this is the
+        continuous-crawl extension a 10^10-frontier deployment needs,
+        designed against the exact-seen source of truth:
+
+        * only URLs actually in ``seen`` (as stored — canonical form)
+          and NOT still queued in the frontier are evicted (evicting a
+          queued URL would double-fetch it);
+        * the exact ``seen`` state shrinks — that ALONE restores
+          admissibility, whatever the prefilter answers;
+        * cuckoo sidecar: fingerprints are removed via
+          ``delete_guarded`` (an eviction whose code a surviving seen
+          URL aliases stays resident — cost, never results);
+        * Bloom sidecar: bits cannot be unset — evicted URLs stay as
+          stale superset entries routed to the exact confirm join
+          (cost, never results). ``sidecar ⊇ seen`` holds either way;
+        * re-fetched pages append NEW page/visit rows (a fresh version
+          seq); unchanged content dedups against the original via the
+          W2 first-writer rule — both intended re-crawl semantics;
+        * durability: the eviction is committed IMMEDIATELY as its own
+          store round (an ``evictions`` delta stamped with a consumed
+          global seq), so a resumed driver reconstructs post-eviction
+          ``seen``/frontier — see ``_load_state``. Call between ``run``
+          sessions, not mid-round.
+
+        Returns the number of URLs evicted."""
+        ev = (
+            urls.select(F.col(col).alias("url")).distinct()
+            .join(self.seen, "url", "left_semi")
+            .join(self.frontier.select("url"), "url", "left_anti")
+            .localCheckpoint(eager=True)  # stable snapshot: used 3× below
+        )
+        n = ev.count()
+        if n == 0:
+            return 0
+        # consume one global seq as the eviction stamp: strictly greater
+        # than every prior seen-mark stamp, strictly less than every
+        # later one (later substeps stamp with a base advanced past this)
+        stamp = self._seq_base
+        self._seq_base += 1
+        last = self.store.get_meta("last_round")
+        ecommit = (last if last is not None else -1) + 1
+        # two stamp spaces, each matching what it orders against:
+        # evict_seq (global seq) orders against SEEN marks, which are
+        # stamped per-substep with the post-assignment seq base;
+        # evict_time_ms orders against VISIT rows, whose time_ms is the
+        # round tick — a visit row's per-row seq can be an OLD pick's seq
+        # (redirect landings carry the picker's seq), so seq-space would
+        # misclassify a post-eviction landing by a pre-eviction pick.
+        # The earliest post-eviction round is ecommit+1, so its tick is
+        # the threshold (rule: visited iff max time_ms >= threshold).
+        self._append("evictions", ev.select(
+            "url", F.lit(stamp).alias("evict_seq"),
+            F.lit((ecommit + 1) * self.cfg.tick_ms).alias("evict_time_ms")))
+        self.seen = self._ckpt(self.seen.join(ev, "url", "left_anti"), "seen")
+        self._seen_new = self._seen_new.join(ev, "url", "left_anti")
+        # an evicted URL is no longer "visited": the re-pick must pass the
+        # visited_pages guard (engine :508) and STORE a fresh page version
+        # instead of being consumed-without-storing. The committed
+        # page_visits history keeps the old version rows (versioned store).
+        self.visited_pages = self._ckpt(
+            self.visited_pages.join(ev, "url", "left_anti"), "visited_pages")
+        if self._sidecar is not None and hasattr(self._sidecar, "delete_guarded"):
+            self._sidecar.delete_guarded(ev, self.seen, "url")
+        # commit now, as a virtual round (advances the cursor by one tick
+        # — a one-tick politeness idle, nothing else): eviction must not
+        # be lost if the driver exits before another crawl round commits
+        self._commit(ecommit)
+        self._start_round = max(self._start_round, ecommit + 1)
+        return n
 
     # ------------------------------------------------------------------
     def _resolve_redirects(self) -> DataFrame:
@@ -963,6 +1093,9 @@ class CrawlEngine:
             for c in self._live_caches:
                 c.unpersist()
             self._live_caches = []
+        # a later run() on this instance continues where this one stopped
+        # (the evict_seen flow: run → evict → run)
+        self._start_round = max(self._start_round, round_)
         return self.stats
 
     # ------------------------------------------------------------------
@@ -1008,6 +1141,34 @@ class CrawlEngine:
         return self._read_all("metrics")
 
     def seen_df(self) -> DataFrame:
-        adm = self._read_all("page_admissions").select("url")
-        extra = self._read_all("seen")
-        return adm.unionByName(extra.select("url")).distinct() if extra is not None else adm.distinct()
+        return self._stored_seen(
+            self._read_all("page_admissions"),
+            self._read_all("seen"),
+            self._read_all("evictions"),
+        )
+
+    def _stored_seen(self, adm: DataFrame, seen_extra: DataFrame | None,
+                     evictions: DataFrame | None) -> DataFrame:
+        """Committed seen set. Without evictions: the append-only union
+        (admissions ∪ redirect-hop marks). With evictions: a URL is seen
+        iff its latest seen-mark stamp (per-row admission seq, or the
+        per-substep stamp on the seen delta) is GREATER than its latest
+        eviction stamp — evictions consume a global seq, so marks never
+        tie a stamp (see ``evict_seen``)."""
+        if evictions is None:
+            seen = adm.select("url")
+            if seen_extra is not None:
+                seen = seen.unionByName(seen_extra.select("url"))
+            return seen.distinct()
+        marks = adm.select("url", "seq")
+        if seen_extra is not None:
+            marks = marks.unionByName(seen_extra.select("url", "seq"))
+        last_ev = evictions.groupBy("url").agg(
+            F.max("evict_seq").alias("evict_seq"))
+        return (
+            marks.groupBy("url").agg(F.max("seq").alias("mark_seq"))
+            .join(last_ev, "url", "left")
+            .filter(F.col("evict_seq").isNull()
+                    | (F.col("mark_seq") > F.col("evict_seq")))
+            .select("url")
+        )

@@ -10,7 +10,10 @@ it supports **deletion**, which a Bloom filter cannot. The crawl engine's
 seen set is insert-only per round (the Bloom sidecar stays the default),
 but re-crawl policies evict URLs whose TTL expired so they become
 fetchable again — with Bloom that forces a full sidecar rebuild; with
-cuckoo it is a per-shard fingerprint removal (``delete``).
+cuckoo it is a per-shard fingerprint removal (``delete``; the engine's
+eviction path uses ``delete_guarded``, which skips evictions whose code
+a surviving key aliases — see its docstring for why that guard is what
+keeps set-semantics deletion false-negative-free).
 
 Layout per shard: ``m`` buckets × 4 slots of 16-bit fingerprints
 (0 = empty), ``m`` a power of two so the partner bucket
@@ -319,6 +322,62 @@ class ShardedCuckooSidecar:
         return self.might_contain(
             F.xxhash64(url_col), shard_of(url_col, self.n_shards)
         )
+
+    def delete_guarded(self, evict_df: DataFrame, keep_df: DataFrame,
+                       col: str = "url") -> int:
+        """``delete`` restricted to fingerprints NO surviving key aliases
+        — the safe form for seen-set eviction (TTL re-crawl).
+
+        Why the guard exists: the bulk insert stores ONE copy per
+        (bucket, fingerprint) code (set semantics), so two distinct URLs
+        whose hashes alias to the same code share a single resident copy.
+        An unguarded delete of one of them would drop the shared copy and
+        make the OTHER — still-seen — URL a false negative, which the
+        prefilter routing contract cannot absorb (a false-negative
+        candidate checks only the since-build delta, not the full seen
+        set, so the seen URL would be re-admitted). At 16-bit
+        fingerprints an alias needs equal fp AND a shared home bucket —
+        rare, but ~n²/(2^17·m) expected pairs per shard is non-negligible
+        at 10^10 keys.
+
+        The guard: compute each key's canonical code (the exact
+        ``_stash_code`` the shard stores), broadcast the eviction batch's
+        (shard, code) pairs, and scan ``keep_df`` once to find codes a
+        surviving key aliases; those evictions are SKIPPED — they stay
+        resident as stale superset entries, which cost confirm-join
+        traffic and never affect results (the same graceful degradation
+        the Bloom layout has for every eviction). Cost: one projected
+        scan of ``keep_df`` + one broadcast join per eviction batch; no
+        full-table shuffle. Returns #fingerprints actually removed."""
+        K, m = self.n_shards, self.m_buckets
+
+        @F.pandas_udf(T.LongType())
+        def code_of(h: pd.Series) -> pd.Series:
+            hv = h.to_numpy(dtype=np.int64).view(np.uint64)
+            if len(hv) == 0:
+                return pd.Series(np.zeros(0, dtype=np.int64))
+            return pd.Series(_stash_code(_i1_of(hv, m), _fp_of(hv), m))
+
+        ev = evict_df.select(
+            F.col(col),
+            shard_of(F.col(col), K).alias("s"),
+            code_of(F.xxhash64(F.col(col))).alias("c"),
+        ).persist()
+        try:
+            ev_codes = ev.select("s", "c").distinct()
+            blocked = (
+                keep_df.select(
+                    shard_of(F.col(col), K).alias("s"),
+                    code_of(F.xxhash64(F.col(col))).alias("c"),
+                )
+                .join(F.broadcast(ev_codes), ["s", "c"], "left_semi")
+                .distinct()
+            )
+            safe = ev.join(F.broadcast(blocked), ["s", "c"], "left_anti") \
+                     .select(col)
+            return self.delete(safe, col)
+        finally:
+            ev.unpersist()
 
     def delete(self, df: DataFrame, col: str = "url") -> int:
         """Remove the rows' fingerprints (one copy each) from their
