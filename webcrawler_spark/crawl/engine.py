@@ -1105,6 +1105,13 @@ class CrawlEngine:
         return self._read_all("trace")
 
     def pages_df(self) -> DataFrame:
+        """Reference-census page view: one row per visit plus synthesized
+        FRONTIER rows for admitted-never-visited URLs (the reference's
+        page table shape). For stores with re-crawl evictions this view
+        reports HISTORY — a re-crawled URL appears once per stored
+        version, and a re-admitted-but-not-yet-repicked URL is not
+        re-synthesized as FRONTIER (it already has version rows); the
+        live queue is ``self.frontier``/``seen_df``."""
         visits = self._read_all("page_visits")
         adm = self._read_all("page_admissions")
         consumed = self._read_all("consumed")

@@ -348,7 +348,10 @@ class ShardedCuckooSidecar:
         traffic and never affect results (the same graceful degradation
         the Bloom layout has for every eviction). Cost: one projected
         scan of ``keep_df`` + one broadcast join per eviction batch; no
-        full-table shuffle. Returns #fingerprints actually removed."""
+        full-table shuffle — measured 7.5 s for a 1M-URL eviction against
+        15M survivors at 16 cores, 40 aliases blocked (0.004%), zero
+        survivor false negatives (BASELINE.md "Re-crawl eviction cost").
+        Returns #fingerprints actually removed."""
         K, m = self.n_shards, self.m_buckets
 
         @F.pandas_udf(T.LongType())
