@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from webcrawler_spark.dedup import cluster as _cluster
 from webcrawler_spark.dedup import embedding as _emb
 from webcrawler_spark.dedup import exact as _exact
 from webcrawler_spark.dedup import minhash as _minhash
@@ -376,6 +377,20 @@ def _q_ngram_jaccard(spark, sf):
     )
 
 
+def _q_dedup_clusters(spark, sf):
+    # Near-dup CLUSTERS: connected components (alternating large/small
+    # star, SoCC'14) over the LSH+verify pair set, min-id canonical
+    # survivor per cluster — the transitive keep-one step a production
+    # dedup pipeline runs after pair generation. Same pair parameters as
+    # ngram_jaccard_pairs so the oracle mirrors the edge set exactly.
+    docs = load(spark, sf, "documents")
+    pairs = _minhash.near_duplicates(docs, threshold=0.2, bands=8, rows_per_band=2)
+    out = _cluster.clusters(docs, pairs.select("a", "b"))
+    # iterative lineage + per-round persists: materialize the (thin,
+    # pair-participant-only) result for the driver like graph_export does
+    return spark.createDataFrame(out.collect(), schema=out.schema)
+
+
 def _q_embedding_neardup(spark, sf):
     # embedding-cosine near-duplicate pairs
     return _emb.near_duplicate_pairs(load(spark, sf, "embeddings"), threshold=0.3)
@@ -514,6 +529,36 @@ def _q_image_invariants(spark, sf):
     )
 
 
+def _q_image_phash_neardup(spark, sf):
+    # Multimodal dedup: banded Hamming≤3 near-dup over the input_hint
+    # table's phash column, corpus = graft images + deterministic
+    # quality-70 jpeg re-encodes (the classic near-dup population: same
+    # content, different encode). 4×16-bit bands give EXACT recall at
+    # k≤3 by pigeonhole; popcount-verify prunes candidates only.
+    # Rows-only for the driver (DuckDB cannot decode images); the
+    # brute-force all-pairs oracle equality lives in tests/test_images.py.
+    import pandas as pd
+
+    from webcrawler_spark.dedup import phash as _phash
+    from webcrawler_spark.functions.images import (
+        decode_image, encode_image, phash64)
+    from webcrawler_spark.sources.fixtures import make_images, render_image
+
+    pdf = make_images(64)[["image_id", "phash"]]
+    variants = []
+    for i in range(0, 64, 2):
+        iid = f"img{i:010d}"
+        pixels, _w, _h, _fmt, _cap = render_image(iid)
+        data = encode_image(pixels, "jpeg", quality=70)
+        variants.append(
+            {"image_id": iid + "_v70", "phash": phash64(decode_image(data))}
+        )
+    imgs = spark.createDataFrame(
+        pd.concat([pdf, pd.DataFrame(variants)], ignore_index=True)
+    )
+    return _phash.phash_near_duplicates(imgs).orderBy("a", "b")
+
+
 def _q_image_caption_pairs(spark, sf):
     # A+B graft integration: X4 image+alt extraction over the synthetic
     # webgraph -> payload ingest keyed by crc32 image_id -> input_hint
@@ -630,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "simhash": _q_simhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_topk": _q_ann_topk,
@@ -643,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_invariants": _q_image_invariants,
         "image_features": _q_image_features,
         "image_caption_pairs": _q_image_caption_pairs,
+        "image_phash_neardup": _q_image_phash_neardup,
     }
 
 
@@ -847,6 +894,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash.minhash_signature_sql() + " ORDER BY doc_id",
         "simhash": _simhash.simhash_oracle_sql() + " ORDER BY doc_id",
         "ngram_jaccard_pairs": _minhash.near_duplicates_oracle_sql(
+            0.2, bands=8, rows_per_band=2
+        ),
+        "dedup_clusters": _cluster.clusters_oracle_sql(
             0.2, bands=8, rows_per_band=2
         ),
         "embedding_neardup_pairs": """

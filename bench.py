@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "minhash_signatures",
     "simhash",
     "ngram_jaccard_pairs",
+    "dedup_clusters",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
     "ann_topk",
@@ -60,6 +61,7 @@ BENCH_QUERIES = [
     "sessionize",
     "url_canonicalize",
     "image_invariants",
+    "image_phash_neardup",
     "max_freq_word",
     "graph_export",
     "extraction_golden",
@@ -267,6 +269,43 @@ def _kernel_scaling(trials: int = 3) -> dict:
             "high": _level(SCALE_HI),
             "per_trial_efficiency": per_trial,
             "best_within_window_efficiency": max(per_trial)}
+
+
+def _kernel_skew(uniform_high_wall: float) -> dict:
+    """Adversarial-skew robustness, one run at SCALE_HI on the hot-host /
+    hot-fingerprint twin inputs (same row counts as the scaling job):
+    half of all candidate links on ONE domain, all duplicate texts
+    sharing ONE fingerprint (an n/4-row hot key). The comparison against
+    the same window's uniform 16-core wall is the north_rule's "explicit
+    skew handling for hot domains" made measurable: admission keys on
+    full url (hash-uniform even when one host dominates), the hot fp is
+    absorbed by partial aggregation, and AQE splits the skewed join."""
+    from webcrawler_spark.crawl.kernel import (
+        build_seen_sidecar, materialize_round_inputs, run_round_kernel)
+
+    spark = _fresh_session(SCALE_HI, "bench_kernel_skew")
+    root = materialize_round_inputs(
+        spark, _kernel_inputs_root() + "_skew", KERNEL_N, KERNEL_N // 2,
+        KERNEL_N // 4, skewed=True)
+    run_round_kernel(spark, 200_000, 100_000, 50_000)  # warm codegen/JIT
+    # seen set (and therefore the carried sidecar) is identical to the
+    # uniform job's — reuse the same untimed build
+    sidecar = build_seen_sidecar(
+        spark, KERNEL_N // 2,
+        path=f"{_kernel_inputs_root()}_sidecar_s32", n_shards=32)
+    t0 = time.time()
+    r = run_round_kernel(spark, KERNEL_N, KERNEL_N // 2, KERNEL_N // 4,
+                         sidecar=sidecar, input_root=root)
+    wall = round(time.time() - t0, 2)
+    spark.stop()
+    return {
+        "cores": SCALE_HI,
+        "wall_s": wall,
+        "urls_per_sec": round(KERNEL_N / wall, 1),
+        "uniform_wall_s": uniform_high_wall,
+        "skew_over_uniform": round(wall / uniform_high_wall, 3),
+        **r,
+    }
 
 
 # 16k images ≈ 53 s at 4 cores / 14 s at 16: large enough that the
@@ -567,6 +606,10 @@ def main() -> None:
             "machine_ceiling_efficiency": round(c_speed / ratio, 3),
             "efficiency_vs_machine_ceiling": round(k_speed / c_speed, 3),
         }
+        # 2a. adversarial-skew robustness: the same job, hot-host/hot-fp
+        # inputs, one run at the high level, compared within-window
+        out["round_kernel_scaling"]["skew"] = _phase(
+            "kernel_skew", lambda: _kernel_skew(k_hi["wall_s"]))
         # 2b. the image pipeline (graft payload axis) at the same two
         # parallelism levels — decode/phash/PSNR invariant over the
         # input_hint table, Arrow-batched end to end

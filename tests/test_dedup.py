@@ -130,3 +130,108 @@ def test_embedding_cosine_pairs(spark, sf_dir):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# connected-components cluster assembly (dedup/cluster.py)
+# ---------------------------------------------------------------------------
+
+def _brute_components(edges):
+    """Union-find oracle: component = min id reachable."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min so the root IS the component min
+            lo, hi = min(ru, rv), max(ru, rv)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    from webcrawler_spark.dedup import cluster
+
+    # chain (1-2-3-4), triangle (10,11,12), isolated pair (20,21),
+    # a long path that needs >1 star round (30..37), cross links
+    edges = [
+        (1, 2), (2, 3), (3, 4),
+        (10, 11), (11, 12), (12, 10),
+        (20, 21),
+        (30, 31), (31, 32), (32, 33), (33, 34), (34, 35), (35, 36), (36, 37),
+        (4, 1),            # cycle back
+        (37, 30),          # cycle back
+    ]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["component"]
+        for r in cluster.connected_components(df).collect()
+    }
+    assert got == _brute_components(edges)
+
+
+def test_connected_components_string_ids_and_empty(spark):
+    from webcrawler_spark.dedup import cluster
+
+    edges = [("d9", "d2"), ("d2", "d7"), ("x1", "x2")]
+    got = {
+        r["node"]: r["component"]
+        for r in cluster.connected_components(spark.createDataFrame(edges, "a string, b string")).collect()
+    }
+    assert got == {"d9": "d2", "d2": "d2", "d7": "d2", "x1": "x1", "x2": "x1"}
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert cluster.connected_components(empty).collect() == []
+
+
+def test_clusters_and_drop_near_duplicates(spark):
+    from webcrawler_spark.dedup import cluster
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 5), (5, 3), (6, 7)], "a long, b long")
+    cl = cluster.clusters(docs, pairs).collect()
+    by_doc = {r["doc_id"]: r for r in cl}
+    assert set(by_doc) == {1, 3, 5, 6, 7}
+    assert all(by_doc[d]["cluster_id"] == 1 for d in (1, 3, 5))
+    assert by_doc[1]["cluster_size"] == 3 and by_doc[1]["is_canonical"]
+    assert not by_doc[3]["is_canonical"] and not by_doc[5]["is_canonical"]
+    assert by_doc[6]["cluster_id"] == 6 and by_doc[6]["cluster_size"] == 2
+
+    kept = sorted(
+        r["doc_id"] for r in cluster.drop_near_duplicates(docs, pairs).collect()
+    )
+    assert kept == [0, 1, 2, 4, 6]   # victims 3,5,7 dropped; canonicals stay
+
+
+def test_cluster_oracle_matches_spark(docs, sf_dir):
+    """The driver-shaped check: Spark clusters() over LSH+verify pairs vs
+    the recursive-CTE DuckDB oracle, value-for-value on the same 120-doc
+    slice."""
+    from webcrawler_spark.dedup import cluster
+
+    pairs = minhash.near_duplicates(docs, threshold=0.2, bands=8, rows_per_band=2)
+    got = cluster.clusters(docs, pairs.select("a", "b")).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet' LIMIT 120"
+    )
+    want = con.execute(
+        cluster.clusters_oracle_sql(0.2, bands=8, rows_per_band=2)
+    ).df()
+    assert len(got) == len(want)
+    g = got.sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)
+    w = want.sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)
+    assert (g["doc_id"].astype("int64") == w["doc_id"].astype("int64")).all()
+    assert (g["cluster_id"].astype("int64") == w["cluster_id"].astype("int64")).all()
+    assert (g["cluster_size"].astype("int64") == w["cluster_size"].astype("int64")).all()
+    assert (g["is_canonical"].astype(bool) == w["is_canonical"].astype(bool)).all()

@@ -97,3 +97,83 @@ def test_phash_udf_matches_python(spark):
     for _, r in pdf.iterrows():
         px = decode_image(bytes(r["bytes"]))
         assert got[r["image_id"]] == phash64(px)
+
+
+# ---------------------------------------------------------------------------
+# phash near-dup banding (dedup/phash.py)
+# ---------------------------------------------------------------------------
+
+def _brute_pairs(rows, k):
+    out = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = sorted((rows[i], rows[j]))
+            d = bin((a[1] ^ b[1]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if d <= k:
+                out.add((a[0], b[0], d))
+    return out
+
+
+def _i64(x):
+    """Wrap an unbounded Python int into signed 64-bit two's complement."""
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def test_phash_neardup_controlled_bit_flips(spark):
+    from webcrawler_spark.dedup import phash as ph
+
+    base = -0x123456789ABCDEF0  # negative: exercises sign-extension masking
+    rows = [
+        ("i0", base),
+        ("i1", _i64(base ^ 0b1)),                   # hamming 1
+        ("i2", _i64(base ^ (1 << 63) ^ 1)),         # hamming 2, top band
+        ("i3", _i64(base ^ 0b111)),                 # hamming 3
+        ("i4", _i64(base ^ 0b11110000)),            # hamming 4 — excluded
+        ("i5", 0x7FFFFFFFFFFFFFFF),                 # far away
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in ph.phash_near_duplicates(df).collect()
+    }
+    want = _brute_pairs(rows, 3)
+    assert got == want
+    assert ("i0", "i1", 1) in got and ("i0", "i4", 4) not in got
+
+
+def test_phash_neardup_matches_bruteforce_on_fixture_images(spark):
+    from webcrawler_spark.dedup import phash as ph
+    from webcrawler_spark.functions.images import decode_image
+
+    pdf = make_images(48)
+    rows = list(zip(pdf["image_id"], (int(x) for x in pdf["phash"])))
+    for i in range(0, 48, 2):
+        iid = f"img{i:010d}"
+        pixels, _w, _h, _fmt, _cap = render_image(iid)
+        data = encode_image(pixels, "jpeg", quality=70)
+        rows.append((iid + "_v70", phash64(decode_image(data))))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in ph.phash_near_duplicates(df).collect()
+    }
+    assert got == _brute_pairs(rows, 3)
+    assert got, "fixture corpus must produce near-dup pairs (non-vacuous)"
+
+
+def test_phash_clusters_canonical_election(spark):
+    from webcrawler_spark.dedup import phash as ph
+
+    base = 0x0F0F0F0F0F0F0F0F
+    rows = [
+        ("a1", base), ("a2", base ^ 1), ("a3", base ^ 2),   # one cluster
+        ("b1", -42), ("b2", -42 ^ (1 << 40)),                # another
+        ("c1", 0x1234),                                      # singleton: absent
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    cl = {r["image_id"]: r for r in ph.phash_clusters(df).collect()}
+    assert set(cl) == {"a1", "a2", "a3", "b1", "b2"}
+    assert all(cl[i]["cluster_id"] == "a1" for i in ("a1", "a2", "a3"))
+    assert cl["a1"]["is_canonical"] and cl["a1"]["cluster_size"] == 3
+    assert cl["b1"]["cluster_id"] == "b1" and cl["b2"]["cluster_size"] == 2

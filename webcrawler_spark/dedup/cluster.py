@@ -1,0 +1,230 @@
+"""Near-duplicate CLUSTER assembly: connected components over verified
+near-dup pair edges, then canonical-survivor election per cluster.
+
+Pair generation (``dedup.minhash.near_duplicates``,
+``dedup.embedding.lsh_near_duplicate_pairs``) answers "which documents
+are near-duplicates of each other"; a production dedup pipeline needs the
+next step — transitive grouping (A~B, B~C ⇒ {A,B,C} is ONE group even if
+A and C never shared a band) and one kept representative per group. The
+reference's own dedup is exact-match first-writer-wins
+(DatabaseHandler.java's content lookup); this module is the near-dup
+generalization of the same keep-one rule.
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+Beyond", SoCC'14; public technique). Each round is two groupBy+join
+passes over the edge set; the edge set contracts toward a star forest
+(every node → its component's minimum id) in O(log n) rounds with high
+probability — no vertex-program framework, no driver-side graph, just
+DataFrame shuffles on node ids:
+
+  large-star(u): m = min(N(u) ∪ {u}); re-point every STRICTLY LARGER
+                 neighbor v > u at m
+  small-star(u): orient edges large→small; m = min(smaller nbrs);
+                 re-point every smaller neighbor AND u itself at m
+
+Convergence is detected by an order-insensitive (count, xor xxhash64)
+signature of the canonicalized edge set — two aggregate-sized actions per
+round, the same budget class as the engine's documented collects.
+
+Scale: each round shuffles only the current edge set hashed by node id
+(near-dup edges are a thin subset of the corpus — |E| ≪ |docs|), and the
+star contraction strictly reduces long chains, so the 100-TB cost is
+O(log n) edge-sized shuffles, never an all-pairs or whole-corpus join.
+A per-round checkpoint materializes the contracted set and severs the
+plan (an iterative plan otherwise grows ~16× per round — each star pass
+references the edge frame four times — and the job dies assembling a
+GB-sized plan string long before any data-size limit).
+
+DuckDB oracle: min-label propagation as a recursive CTE over the SAME
+deterministic pair set (``clusters_oracle_sql`` embeds
+``near_duplicates_oracle_sql``), so the driver verifies cluster ids,
+sizes, and canonical flags value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webcrawler_spark.dedup.minhash import near_duplicates_oracle_sql
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Re-point every neighbor v > u at min(N(u) ∪ {u})."""
+    nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        nbrs.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient large→small; re-point smaller neighbors and u at the min."""
+    ee = (
+        e.where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    )
+    mins = ee.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        ee.join(mins, "u")
+        .select(F.col("v").alias("n"), F.col("m"))
+        .union(mins.select(F.col("u").alias("n"), F.col("m")))
+        .where(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components(
+    edges: DataFrame, u_col: str = "a", v_col: str = "b", max_rounds: int = 50
+) -> DataFrame:
+    """(node, component) for every node that appears in ``edges``;
+    ``component`` is the minimum node id of the component in the id
+    column's NATIVE ordering (deterministic, engine-portable — Spark and
+    DuckDB order ints numerically and ASCII strings bytewise alike; the
+    id dtype is preserved, never coerced, so both engines elect the same
+    canonical).
+
+    ``max_rounds`` is a runaway backstop, not a tuning knob: large/small
+    star converges in O(log n) rounds w.h.p. (SoCC'14 Thm 1-2); real
+    near-dup graphs finish in a handful.
+    """
+    # persist the (thin) edge set once: every star round and the final
+    # node join re-reads it, and its upstream is typically a full LSH
+    # pipeline that must not recompute per round
+    orig = (
+        edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        orig.select("u")
+        .union(orig.select(F.col("v").alias("u")))
+        .distinct()
+        .withColumnRenamed("u", "node")
+    )
+
+    sc = edges.sparkSession.sparkContext
+    e = orig
+    prev_sig: tuple | None = None
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e))
+        # sever lineage every round: each star pass references the edge
+        # frame ~4×, so the logical plan grows ~16× per round and is
+        # GB-sized in plan-string form by round 5 — persist() caches
+        # blocks but not the plan. Checkpointing materializes the thin
+        # edge set AND resets the plan (the standard move for iterative
+        # graph jobs). Reliable checkpoint when the context has a
+        # checkpoint dir (production); localCheckpoint otherwise —
+        # executor-resident, so block loss fails the job, never corrupts.
+        e = (
+            e.checkpoint(eager=True)
+            if sc.getCheckpointDir()
+            else e.localCheckpoint(eager=True)
+        )
+        # bit_xor: order-insensitive and overflow-free under ANSI mode
+        # (a SUM of xxhash64 values overflows int64); the edge set is
+        # distinct so XOR cancellation cannot alias two different sets
+        # except by 64-bit hash collision
+        cnt, hsh = e.agg(
+            F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
+        ).first()
+        sig = (cnt, hsh)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # converged star forest: e = (child, root); roots carry no out-edge
+    comp = nodes.join(
+        e.withColumnRenamed("u", "node").withColumnRenamed("v", "component"),
+        "node",
+        "left",
+    ).select("node", F.coalesce("component", "node").alias("component"))
+    return comp
+
+
+def clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster assignment for every doc that appears in a near-dup pair:
+    (doc_id, cluster_id, cluster_size, is_canonical). Canonical = the
+    cluster's min doc_id — the deterministic first-writer analog (the
+    reference keeps the FIRST stored copy of duplicate content;
+    crawler DatabaseHandler content-match path)."""
+    cc = connected_components(pairs)
+    sz = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sz, "component")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_canonical"),
+        )
+        .orderBy("cluster_id", id_col)
+    )
+
+
+def drop_near_duplicates(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The deduplicated corpus: ``docs`` minus non-canonical cluster
+    members. Left-anti on the thin victim set — the corpus-sized side is
+    never shuffled wide (victims ≪ docs; broadcast-eligible under AQE)."""
+    victims = (
+        connected_components(pairs)
+        .where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(victims, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle — min-label propagation as a recursive CTE over the same
+# deterministic LSH+verify pair set
+# ---------------------------------------------------------------------------
+
+def clusters_oracle_sql(
+    threshold: float,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> str:
+    pairs_sql = near_duplicates_oracle_sql(
+        threshold, table, id_col, text_col, bands, rows_per_band
+    )
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        nodes AS (SELECT a AS n FROM pairs UNION SELECT b FROM pairs),
+        edges AS (
+            SELECT a AS u, b AS v FROM pairs
+            UNION SELECT b AS u, a AS v FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+        ),
+        lab AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+        sz AS (
+            SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
+        )
+        SELECT l.node AS {id_col}, l.cluster_id, s.cluster_size,
+               l.node = l.cluster_id AS is_canonical
+        FROM lab l JOIN sz s ON s.cluster_id = l.cluster_id
+        ORDER BY l.cluster_id, {id_col}
+    """
