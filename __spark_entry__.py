@@ -391,6 +391,20 @@ def _q_dedup_clusters(spark, sf):
     return spark.createDataFrame(out.collect(), schema=out.schema)
 
 
+def _q_dedup_survivors(spark, sf):
+    # The deduplicated corpus: documents minus non-canonical near-dup
+    # cluster members (left-anti on the thin victim set). The end-to-end
+    # keep-one semantics of dedup/cluster.drop_near_duplicates.
+    docs = load(spark, sf, "documents")
+    pairs = _minhash.near_duplicates(docs, threshold=0.2, bands=8, rows_per_band=2)
+    out = (
+        _cluster.drop_near_duplicates(docs, pairs.select("a", "b"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+    return spark.createDataFrame(out.collect(), schema=out.schema)
+
+
 def _q_embedding_neardup(spark, sf):
     # embedding-cosine near-duplicate pairs
     return _emb.near_duplicate_pairs(load(spark, sf, "embeddings"), threshold=0.3)
@@ -676,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_survivors": _q_dedup_survivors,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_topk": _q_ann_topk,
@@ -897,6 +912,9 @@ def oracle_sql() -> dict[str, str]:
             0.2, bands=8, rows_per_band=2
         ),
         "dedup_clusters": _cluster.clusters_oracle_sql(
+            0.2, bands=8, rows_per_band=2
+        ),
+        "dedup_survivors": _cluster.survivors_oracle_sql(
             0.2, bands=8, rows_per_band=2
         ),
         "embedding_neardup_pairs": """

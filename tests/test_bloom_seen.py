@@ -433,3 +433,33 @@ def test_cuckoo_table_properties_no_spark():
     hv = np.array([123456789] * 50 + [987654321] * 50, dtype=np.uint64)
     stash = np.array(_insert_all(table, hv), dtype=np.int64)
     assert (table != 0).sum() + len(stash) == 2
+
+
+def test_skewed_round_bloom_equals_exact(spark, tmp_path_factory):
+    """The adversarial-skew kernel inputs (half of all candidates on ONE
+    host, all duplicate texts sharing ONE fingerprint — bench.py's
+    kernel_skew section) produce identical counts with and without the
+    Bloom prefilter, and the hot structures are really present: skew must
+    cost throughput at most, never results."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.crawl.kernel import (
+        materialize_round_inputs, run_round_kernel, synth_texts_skewed)
+
+    n = 100_000
+    root = str(tmp_path_factory.mktemp("kernel_inputs_skew"))
+    materialize_round_inputs(spark, root, n, n // 2, n // 4, n_files=8,
+                             skewed=True)
+    r_bloom = run_round_kernel(spark, n, n // 2, n // 4, input_root=root,
+                               use_bloom=True)
+    r_exact = run_round_kernel(spark, n, n // 2, n // 4, input_root=root,
+                               use_bloom=False)
+    assert r_bloom == r_exact
+    assert r_bloom["n_admitted"] > 0
+    # the hot fingerprint group really is one n/4-row key
+    texts = synth_texts_skewed(spark, n // 4)
+    top = (
+        texts.groupBy(F.xxhash64(F.lower(F.col("text")))).count()
+        .agg(F.max("count")).first()[0]
+    )
+    assert top >= (n // 4) // 4

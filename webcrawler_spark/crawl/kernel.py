@@ -86,6 +86,60 @@ def synth_candidates(spark: SparkSession, n: int, n_hosts: int = 50_000) -> Data
     )
 
 
+def synth_candidates_skewed(spark: SparkSession, n: int, n_hosts: int = 50_000) -> DataFrame:
+    """The adversarial-skew twin of ``synth_candidates``: HALF of all
+    candidate links point at ONE host (the hot-domain head the north_rule
+    calls out — a gov.si portal every page links to), the rest spread as
+    before. Page ids on the hot host stay diverse, so this stresses the
+    host distribution, not the URL-key distribution — admission keys on
+    full url (hash-uniform even for one host), which is itself the
+    explicit skew design: no stage in the kernel keys on host alone."""
+    base = spark.range(n).select(
+        F.col("id"),
+        # hot host h=1 → h1.gov.si: IN containment (h=0 would alias the
+        # h%11 out-of-scope branch and the hot mass would just be filtered)
+        F.when(F.col("id") % 2 == 0, F.lit(1)).otherwise(F.col("id") % n_hosts).alias("h"),
+        (F.col("id") % 7).alias("noise"),
+        ((F.col("id") * 2654435761) % 1000003).alias("salt"),
+    )
+    host = F.when(
+        F.col("h") % 11 == 0, F.concat(F.lit("x"), F.col("h").cast("string"), F.lit(".example.com"))
+    ).otherwise(F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".gov.si")))
+    page = (F.col("id") * 13) % (n // 2 + 1)
+    raw = F.concat(
+        F.lit("http://"), host, F.lit("/p"), page.cast("string"),
+        F.when(F.col("noise") == 0, F.lit(".html")).otherwise(F.lit("")),
+        F.when(F.col("noise") == 1, F.lit("?utm_source=x&ref=1")).otherwise(F.lit("")),
+        F.when(F.col("noise") == 2, F.lit("#section")).otherwise(F.lit("")),
+        F.when(F.col("noise") == 3, F.lit(".pdf")).otherwise(F.lit("")),
+    )
+    raw = F.when(F.col("salt") % 97 == 0, F.lit("javascript:void(0)")).otherwise(raw)
+    return base.select(
+        F.col("id").alias("parent_seq"),
+        (F.col("id") % 40).alias("pos"),
+        raw.alias("raw"),
+    )
+
+
+def synth_texts_skewed(spark: SparkSession, n: int) -> DataFrame:
+    """Adversarial content skew: the same ~25% duplicate mass as
+    ``synth_texts`` but ALL duplicates share ONE text (the web's classic
+    hot fp — an error/cookie page served site-wide), so the fingerprint
+    groupBy sees one key carrying n/4 rows and the first-writer join sees
+    an n/4-row hot side. Partial (map-side) aggregation absorbs the
+    groupBy; AQE skew-join splitting covers the join — measured in
+    bench.py's kernel_skew section."""
+    dup = (F.col("id") % 4 == 0)
+    key = F.when(dup, F.lit("0")).otherwise(F.col("id").cast("string"))
+    words = F.concat_ws(
+        "  ",
+        F.lit("podatki  storitve"), key, F.lit("uprava register"),
+        F.hex(F.xxhash64(key)), F.lit("evidenca\tpotrdilo"),
+        F.hex(F.xxhash64(key, F.lit(1))),
+    )
+    return spark.range(n).select(F.col("id").alias("seq"), words.alias("text"))
+
+
 def synth_seen(spark: SparkSession, n: int, n_hosts: int = 50_000) -> DataFrame:
     return spark.range(n).select(
         F.concat(
@@ -113,20 +167,24 @@ def synth_texts(spark: SparkSession, n: int) -> DataFrame:
 
 def materialize_round_inputs(
     spark: SparkSession, root: str, n_candidates: int, n_seen: int, n_texts: int,
-    n_files: int = 64,
+    n_files: int = 64, skewed: bool = False,
 ) -> str:
     """Write the synthetic round inputs as parquet once (idempotent): the
     timed kernel then reads columnar storage, as a production round does —
     candidates are the previous round's stored extraction output, the seen
-    set and page texts are carried state."""
+    set and page texts are carried state. ``skewed=True`` writes the
+    adversarial hot-host / hot-fingerprint twins (same row counts) for the
+    skew-robustness measurement — use a DIFFERENT root."""
     if os.path.exists(f"{root}/_OK"):
         return root
     os.makedirs(root, exist_ok=True)
-    synth_candidates(spark, n_candidates).repartition(n_files) \
+    make_cand = synth_candidates_skewed if skewed else synth_candidates
+    make_texts = synth_texts_skewed if skewed else synth_texts
+    make_cand(spark, n_candidates).repartition(n_files) \
         .write.mode("overwrite").parquet(f"{root}/cand")
     synth_seen(spark, n_seen).repartition(n_files) \
         .write.mode("overwrite").parquet(f"{root}/seen")
-    synth_texts(spark, n_texts).repartition(n_files) \
+    make_texts(spark, n_texts).repartition(n_files) \
         .write.mode("overwrite").parquet(f"{root}/texts")
     with open(f"{root}/_OK", "w") as fh:
         fh.write("ok")

@@ -196,14 +196,16 @@ def drop_near_duplicates(
 # deterministic LSH+verify pair set
 # ---------------------------------------------------------------------------
 
-def clusters_oracle_sql(
+def _cc_ctes(
     threshold: float,
-    table: str = "documents",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    bands: int = 8,
-    rows_per_band: int = 2,
+    table: str,
+    id_col: str,
+    text_col: str,
+    bands: int,
+    rows_per_band: int,
 ) -> str:
+    """Shared recursive-CTE prefix: LSH+verify pairs → bidirected edges →
+    min-label propagation (``lab``: node → cluster_id)."""
     pairs_sql = near_duplicates_oracle_sql(
         threshold, table, id_col, text_col, bands, rows_per_band
     )
@@ -219,7 +221,21 @@ def clusters_oracle_sql(
             UNION
             SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
         ),
-        lab AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+        lab AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+    """
+
+
+def clusters_oracle_sql(
+    threshold: float,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> str:
+    ctes = _cc_ctes(threshold, table, id_col, text_col, bands, rows_per_band)
+    return f"""
+        {ctes},
         sz AS (
             SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
         )
@@ -227,4 +243,25 @@ def clusters_oracle_sql(
                l.node = l.cluster_id AS is_canonical
         FROM lab l JOIN sz s ON s.cluster_id = l.cluster_id
         ORDER BY l.cluster_id, {id_col}
+    """
+
+
+def survivors_oracle_sql(
+    threshold: float,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> str:
+    """Oracle for ``drop_near_duplicates``: every doc except non-canonical
+    cluster members."""
+    ctes = _cc_ctes(threshold, table, id_col, text_col, bands, rows_per_band)
+    return f"""
+        {ctes},
+        victims AS (SELECT node FROM lab WHERE node <> cluster_id)
+        SELECT d.{id_col}
+        FROM {table} d
+        WHERE d.{id_col} NOT IN (SELECT node FROM victims)
+        ORDER BY d.{id_col}
     """
