@@ -235,3 +235,29 @@ def test_cluster_oracle_matches_spark(docs, sf_dir):
     assert (g["cluster_id"].astype("int64") == w["cluster_id"].astype("int64")).all()
     assert (g["cluster_size"].astype("int64") == w["cluster_size"].astype("int64")).all()
     assert (g["is_canonical"].astype(bool) == w["is_canonical"].astype(bool)).all()
+
+
+def test_connected_components_random_graph(spark):
+    """Seeded random graph (mixed component sizes, multi-round chains)
+    vs the union-find oracle — the adversarial shape for star rounds."""
+    import random
+
+    from webcrawler_spark.dedup import cluster
+
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = []
+    # long path (needs several star rounds) + random edges + dups/reverses
+    for i in range(60):
+        edges.append((i, i + 1))
+    for _ in range(120):
+        a, b = rng.sample(nodes, 2)
+        edges.append((a, b))
+        if rng.random() < 0.2:
+            edges.append((b, a))   # reverse duplicates must not matter
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: r["component"]
+        for r in cluster.connected_components(df).collect()
+    }
+    assert got == _brute_components(edges)
