@@ -261,3 +261,34 @@ def test_connected_components_random_graph(spark):
         for r in cluster.connected_components(df).collect()
     }
     assert got == _brute_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup index (dedup/incremental.py)
+# ---------------------------------------------------------------------------
+
+def test_incremental_neardup_equals_batch(spark, docs, tmp_path_factory):
+    """Processing the corpus in chunks through a (re-opened) NearDupIndex
+    yields EXACTLY the batch pair set, each pair once, regardless of
+    chunking — the carried-state contract."""
+    from webcrawler_spark.dedup.incremental import NearDupIndex
+
+    want = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash.near_duplicates(
+            docs, threshold=0.2, bands=8, rows_per_band=2
+        ).collect()
+    }
+    assert want, "fixture slice must contain near-dup pairs (non-vacuous)"
+
+    root = str(tmp_path_factory.mktemp("neardup_idx"))
+    got = {}
+    for chunk in range(3):
+        # re-open per batch: state must live entirely on disk
+        idx = NearDupIndex(spark, root, threshold=0.2, bands=8, rows_per_band=2)
+        batch = docs.filter(F.col("doc_id") % 3 == chunk)
+        for r in idx.add_batch(batch).collect():
+            key = (r["a"], r["b"])
+            assert key not in got, f"pair {key} reported twice"
+            got[key] = r["jaccard"]
+    assert got == want

@@ -107,6 +107,26 @@ def signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     return d.select("doc_id", *cols)
 
 
+def band_keys(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(doc_id, band, key) — the LSH banding of each doc's signature, the
+    probe/store unit of the incremental index (`dedup.incremental`)."""
+    assert bands * rows_per_band == NUM_PERM
+    sig = signatures(docs, id_col, text_col)
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws("_", *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def candidate_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND,
@@ -117,18 +137,7 @@ def candidate_pairs(
     of them) raise recall at lower similarity — (8, 2) catches j ≥ 0.9
     pairs with probability ≈ 1 − (1 − 0.81)^8 ≈ 1.
     """
-    assert bands * rows_per_band == NUM_PERM
-    sig = signatures(docs, id_col, text_col)
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws("_", *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
-        )
-        for bi in range(bands)
-    ]
-    banded = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    banded = band_keys(docs, id_col, text_col, bands, rows_per_band)
     l = banded.alias("l")
     r = banded.alias("r")
     return (
