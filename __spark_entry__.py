@@ -665,6 +665,130 @@ def _q_doc_summary(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# training-corpus curation (webcrawler_spark/curation.py)
+# ---------------------------------------------------------------------------
+
+# downsample dominant English, downsample zh (separate tokenizer track),
+# keep the rest — rates in basis points out of 10000
+_CURATION_RATES = {"en": 5000, "zh": 2500}
+
+
+def _curation_corpus(spark, sf):
+    # funnel input: the documents table plus re-keyed clones of every 7th
+    # doc (~12% duplication — the raw table has no exact dups, a real
+    # crawl does; clone ids sit above 1e6 so first-writer keeps originals)
+    d = load(spark, sf, "documents").select("doc_id", "text", "lang")
+    clones = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text", "lang"
+    )
+    return d.unionByName(clones)
+
+
+def _q_corpus_curation(spark, sf):
+    # the full text-curation funnel in one aggregation pass:
+    # raw -> exact-dedup (first-writer on the J5 fingerprint) ->
+    # quality gate (>= 0.75) -> per-language stratified hash sampling;
+    # per-stage doc + token counts
+    from webcrawler_spark.curation import curation_funnel
+
+    return curation_funnel(_curation_corpus(spark, sf), _CURATION_RATES)
+
+
+def _q_train_split(spark, sf):
+    # deterministic, append-stable train/val/test assignment over the
+    # funnel survivors (salted portable-hash buckets; 5% val, 5% test)
+    from webcrawler_spark.curation import train_split
+
+    return train_split(_curation_corpus(spark, sf), _CURATION_RATES)
+
+
+def _q_shard_plan(spark, sf):
+    # training-writer chunk plan: pack the curated train/val/test corpus
+    # into contiguous ~4096-token shards (one window shuffle; a doc lands
+    # where its exclusive prefix sum starts, so shards never split docs)
+    from webcrawler_spark.curation import pack_shards, train_split
+
+    split = train_split(_curation_corpus(spark, sf), _CURATION_RATES)
+    return (
+        pack_shards(split, 4096)
+        .select("doc_id", "split", "shard_id")
+        .orderBy("doc_id")
+    )
+
+
+def _q_token_histogram(spark, sf):
+    # sequence-length planning: docs + tokens per power-of-two token-count
+    # bin (integer CASE boundaries — no float log2 edge cases)
+    from webcrawler_spark.curation import token_histogram
+
+    return token_histogram(load(spark, sf, "documents"))
+
+
+def _q_incremental_curation(spark, sf):
+    # the STATEFUL multi-batch pipeline vs ONE pure-SQL oracle: ingest
+    # documents + exact clones + near-dup twins in two id-ordered batches
+    # through IncrementalCurator (persisted fingerprint index + MinHash-
+    # LSH NearDupIndex, parquet-append carried state), union the
+    # per-batch survivors. Chunking-invariance makes this equal the
+    # pairwise-precedent batch curation, which DuckDB mirrors value-for-
+    # value (same fingerprints, same minhash band keys, same exact-
+    # Jaccard verify, same hash sampling/split). Collect+rebuild before
+    # the state dir is removed.
+    import shutil
+    import tempfile
+
+    from webcrawler_spark.curation import IncrementalCurator
+
+    d = load(spark, sf, "documents").select("doc_id", "text", "lang")
+    clones = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text", "lang")
+    twins = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq ww ee rr")).alias("text"),
+        "lang")
+    root = tempfile.mkdtemp(prefix="inccur_")
+    try:
+        cur = IncrementalCurator(spark, root, _CURATION_RATES)
+        out1 = cur.add_batch(d)
+        out2 = cur.add_batch(clones.unionByName(twins))
+        out = out1.unionByName(out2).orderBy("doc_id")
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_pair_curation(spark, sf):
+    # the image+caption twin of the curation funnel over the input_hint
+    # pair table: caption gate (the empty-alt images a crawl genuinely
+    # yields), resolution gate (w*h >= 4096), banded-phash near-dup
+    # keep-one. Corpus: 64 graft images + quality-70 jpeg re-encodes of
+    # every 4th (the near-dup population) with every 5th caption blanked.
+    # Rows-only for the driver (DuckDB cannot decode images); the
+    # brute-force union-find oracle equality lives in tests/test_curation.py.
+    import pandas as pd
+
+    from webcrawler_spark.curation import pair_curation_funnel
+    from webcrawler_spark.functions.images import (
+        decode_image, encode_image, phash64)
+    from webcrawler_spark.sources.fixtures import make_images, render_image
+
+    pdf = make_images(64)
+    variants = []
+    for i in range(0, 64, 4):
+        iid = f"img{i:010d}"
+        pixels, w, h, _fmt, cap = render_image(iid)
+        data = encode_image(pixels, "jpeg", quality=70)
+        variants.append({
+            "image_id": iid + "_v70", "bytes": data, "w": w, "h": h,
+            "fmt": "jpeg", "caption": cap,
+            "phash": phash64(decode_image(data)),
+        })
+    corpus = pd.concat([pdf, pd.DataFrame(variants)], ignore_index=True)
+    corpus.loc[corpus.index % 5 == 0, "caption"] = ""
+    return pair_curation_funnel(spark.createDataFrame(corpus))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_summary": _q_doc_summary,
@@ -705,12 +829,110 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": _q_image_features,
         "image_caption_pairs": _q_image_caption_pairs,
         "image_phash_neardup": _q_image_phash_neardup,
+        "corpus_curation": _q_corpus_curation,
+        "train_split": _q_train_split,
+        "shard_plan": _q_shard_plan,
+        "token_histogram": _q_token_histogram,
+        "incremental_curation": _q_incremental_curation,
+        "pair_curation": _q_pair_curation,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect)
 # ---------------------------------------------------------------------------
+
+from webcrawler_spark.curation import (  # noqa: E402
+    assign_split_duckdb as _assign_split_duckdb,
+    hash_bucket_duckdb as _hash_bucket_duckdb,
+    pack_shards_duckdb_expr as _pack_shards_duckdb,
+    pow2_bin_duckdb as _pow2_bin_duckdb,
+    rate_expr_duckdb as _rate_expr_duckdb,
+)
+
+
+# DuckDB twin of functions.text.quality_score (same arithmetic as the
+# doc_summary/lang_quality oracles; expects columns text and t in scope)
+_DUCK_QUALITY = """round((
+                least(length(text) / 500.0, 1.0)
+                + CASE WHEN length(text) > 0
+                       THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) * 1.0 / length(text)
+                       ELSE 0.0 END
+                + CASE WHEN len(t) > 0
+                            AND (list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t)) BETWEEN 3 AND 12
+                       THEN 1.0 ELSE 0.5 END
+            ) / 3.0, 6)"""
+
+
+def _curation_oracle_ctes() -> str:
+    """Shared CTE chain mirroring curation_flags over the cloned corpus
+    (see _curation_corpus): value-exact twins of fingerprint64,
+    token_count, quality_score, the first-writer window, and the salted
+    hash-bucket sampling decision."""
+    toks = _DUCK_TOKS.format(col="text")
+    quality = _DUCK_QUALITY
+    bucket = _hash_bucket_duckdb("doc_id", "sample")
+    rate = _rate_expr_duckdb("lang", _CURATION_RATES, 10000)
+    return f"""corpus AS (
+                SELECT doc_id, text, lang FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text, lang
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            t AS (SELECT doc_id, lang, text, {toks} AS t FROM corpus),
+            s AS (SELECT doc_id, lang, {_DUCK_FP} AS fp,
+                         len(t)::INT AS n_tokens, {quality} AS quality
+                  FROM t),
+            f AS (SELECT *, (row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1) AS keep_dedup
+                  FROM s),
+            k AS (SELECT *,
+                         keep_dedup AND quality >= 0.75 AS keep_quality,
+                         keep_dedup AND quality >= 0.75 AND ({bucket} < {rate}) AS keep_sampled
+                  FROM f)"""
+
+
+def _incremental_curation_oracle() -> str:
+    """One pure-SQL mirror of the whole stateful pipeline: corpus
+    (documents + exact clones + near-dup twins) → first-writer exact
+    dedup → pairwise-precedent near-dup drop (the minhash module's own
+    DuckDB oracle, nested over the exact survivors) → quality gate →
+    stratified sample → split."""
+    from webcrawler_spark.dedup.minhash import near_duplicates_oracle_sql
+
+    toks = _DUCK_TOKS.format(col="text")
+    bucket = _hash_bucket_duckdb("doc_id", "sample")
+    rate = _rate_expr_duckdb("lang", _CURATION_RATES, 10000)
+    nd = near_duplicates_oracle_sql(0.8, table="exact_docs")
+    return f"""
+        WITH corpus AS (
+            SELECT doc_id, text, lang FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text, lang
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id, text || ' qq ww ee rr' AS text, lang
+            FROM documents WHERE doc_id % 11 = 0
+        ),
+        t AS (SELECT doc_id, lang, text, {toks} AS t FROM corpus),
+        s AS (SELECT doc_id, lang, text, {_DUCK_FP} AS fp,
+                     len(t)::INT AS n_tokens, {_DUCK_QUALITY} AS quality
+              FROM t),
+        f AS (SELECT *, (row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1) AS keep_dedup
+              FROM s),
+        exact_docs AS (SELECT doc_id, text FROM f WHERE keep_dedup),
+        nd AS ({nd}),
+        surv AS (
+            SELECT doc_id, lang, n_tokens FROM f
+            WHERE keep_dedup
+              AND doc_id NOT IN (SELECT b FROM nd)
+              AND quality >= 0.75
+              AND ({bucket} < {rate})
+        )
+        SELECT doc_id, lang, n_tokens,
+               {_assign_split_duckdb("doc_id")} AS split
+        FROM surv ORDER BY doc_id
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     toks = _DUCK_TOKS.format(col="text")
@@ -1023,9 +1245,52 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extraction_golden": _golden_oracle_values(),
         "extraction_mode_a": _golden_oracle_mode_a(),
+        "corpus_curation": f"""
+            WITH {_curation_oracle_ctes()}
+            SELECT stage, n_docs, n_tokens FROM (
+                SELECT '0_raw' AS stage, count(*)::BIGINT AS n_docs,
+                       coalesce(sum(n_tokens), 0)::BIGINT AS n_tokens FROM k
+                UNION ALL
+                SELECT '1_exact_dedup', count(*) FILTER (WHERE keep_dedup)::BIGINT,
+                       coalesce(sum(n_tokens) FILTER (WHERE keep_dedup), 0)::BIGINT FROM k
+                UNION ALL
+                SELECT '2_quality_gate', count(*) FILTER (WHERE keep_quality)::BIGINT,
+                       coalesce(sum(n_tokens) FILTER (WHERE keep_quality), 0)::BIGINT FROM k
+                UNION ALL
+                SELECT '3_lang_sampled', count(*) FILTER (WHERE keep_sampled)::BIGINT,
+                       coalesce(sum(n_tokens) FILTER (WHERE keep_sampled), 0)::BIGINT FROM k
+            ) ORDER BY stage
+        """,
+        "train_split": f"""
+            WITH {_curation_oracle_ctes()}
+            SELECT doc_id, lang, n_tokens,
+                   {_assign_split_duckdb("doc_id")} AS split
+            FROM k WHERE keep_sampled ORDER BY doc_id
+        """,
+        "shard_plan": f"""
+            WITH {_curation_oracle_ctes()},
+            sp AS (
+                SELECT doc_id, n_tokens,
+                       {_assign_split_duckdb("doc_id")} AS split
+                FROM k WHERE keep_sampled
+            )
+            SELECT doc_id, split,
+                   {_pack_shards_duckdb(4096)} AS shard_id
+            FROM sp ORDER BY doc_id
+        """,
+        "token_histogram": f"""
+            WITH n AS (SELECT len({toks})::INT AS n FROM documents)
+            SELECT {_pow2_bin_duckdb("n")}::INT AS bin_lo,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n)::BIGINT AS total_tokens
+            FROM n GROUP BY 1 ORDER BY 1
+        """,
+        "incremental_curation": _incremental_curation_oracle(),
         # crawl_pages / image_invariants / image_features /
-        # image_caption_pairs: non-SQL-expressible
-        # (engine vs simulator oracle and pandas-UDF pipelines) — rows-only.
+        # image_caption_pairs / pair_curation: non-SQL-expressible
+        # (engine vs simulator oracle and pandas-UDF image pipelines) —
+        # rows-only here; pair_curation's brute-force union-find oracle
+        # equality lives in tests/test_curation.py.
     }
 
 

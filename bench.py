@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "first_writer_dedup",
     "token_counts",
     "lang_quality",
+    "corpus_curation",
+    "train_split",
     "postings",
     "search_scores",
     "minhash_signatures",
