@@ -211,6 +211,21 @@ def _kernel_inputs_root() -> str:
         else f"/tmp/bench_kernel_inputs_{KERNEL_N}"
 
 
+def _kernel_warm_root(spark) -> str:
+    """Tiny parquet round inputs for the untimed warmup. The warmup must
+    run the SAME plan shape as the timed run (parquet scan → admission →
+    dedup): the fused-synthetic form (no input_root) inlines the generator
+    expressions into the admission stage and its hashAgg method exceeds
+    janino's 64 KB limit — that stage falls back to non-codegen, so it
+    warms the wrong code paths and dumps a compiler stack per session."""
+    from webcrawler_spark.crawl.kernel import materialize_round_inputs
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    return materialize_round_inputs(
+        spark, f"{base}/bench_kernel_warm_200000",
+        200_000, 100_000, 50_000, n_files=16)
+
+
 def _kernel_run_once(cores: int) -> tuple[float, dict]:
     """One timed production-batch crawl round (admission with the
     Bloom-sidecar prefilter + content dedup) in a fresh session — the
@@ -228,7 +243,8 @@ def _kernel_run_once(cores: int) -> tuple[float, dict]:
     spark = _fresh_session(cores, f"bench_kernel_{cores}")
     root = materialize_round_inputs(
         spark, _kernel_inputs_root(), KERNEL_N, KERNEL_N // 2, KERNEL_N // 4)
-    run_round_kernel(spark, 200_000, 100_000, 50_000)  # warm codegen/JIT
+    run_round_kernel(spark, 200_000, 100_000, 50_000,
+                     input_root=_kernel_warm_root(spark))  # warm codegen/JIT
     # ONE fixed-shard sidecar reused across every trial/parallelism level
     # (carried state: its layout is a property of the seen set, not of
     # the cluster size probing it), built once untimed like the inputs
@@ -289,7 +305,8 @@ def _kernel_skew(uniform_high_wall: float) -> dict:
     root = materialize_round_inputs(
         spark, _kernel_inputs_root() + "_skew", KERNEL_N, KERNEL_N // 2,
         KERNEL_N // 4, skewed=True)
-    run_round_kernel(spark, 200_000, 100_000, 50_000)  # warm codegen/JIT
+    run_round_kernel(spark, 200_000, 100_000, 50_000,
+                     input_root=_kernel_warm_root(spark))  # warm codegen/JIT
     # seen set (and therefore the carried sidecar) is identical to the
     # uniform job's — reuse the same untimed build
     sidecar = build_seen_sidecar(

@@ -300,7 +300,11 @@ def run_round_kernel(spark: SparkSession, n_candidates: int = 4_000_000,
 
     With ``input_root`` (written by ``materialize_round_inputs``) the round
     reads its inputs from parquet — the production shape; without it the
-    synthetic generators are fused into the scan (fine for tests)."""
+    synthetic generators are fused into the scan (fine for tests — but note
+    the fused generator+admission hashAgg method exceeds janino's 64 KB
+    limit, so that one stage runs on the non-codegen fallback path; results
+    are identical. Benchmarks must pass ``input_root`` so every timed AND
+    warmup stage compiles, which is also the plan shape a real round has)."""
     cand = seen = texts = None
     if input_root is not None:
         cand = spark.read.parquet(f"{input_root}/cand")
