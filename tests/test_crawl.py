@@ -96,6 +96,28 @@ def test_page_data_rows_equal(engine, sim):
     assert {u for u, _ in erows} == binaries
 
 
+def test_site_rows_equal(engine, sim, fixture_graph):
+    """One site row per first-dequeued domain — (domain, robots_content,
+    sitemap_content) with sitemap_content = Arrays.toString(sitemaps) on a
+    live robots fetch, nulls when robots is missing or an HTML page
+    (DatabaseHandler.java:21-47, WebCrawler.java:77-124)."""
+    st = engine.sites_df()
+    assert st is not None
+    erows = {r["domain"]: (r["robots_content"], r["sitemap_content"])
+             for r in st.collect()}
+    assert st.count() == len(erows)  # exactly one row per domain
+    assert erows == sim.sites
+    assert len(erows) > 0
+    # at least one live-robots domain carries content in the fixture, and
+    # its sitemap string is the Arrays.toString of the fixture's list
+    _, robots = fixture_graph
+    live = {r["host"] for _, r in robots.iterrows() if not r["is_html_page"]}
+    with_content = {d for d, (rc, sc) in erows.items() if rc is not None}
+    assert with_content == set(erows) & live
+    for d in with_content:
+        assert erows[d][1] == f"[http://{d}/sitemap.xml]"
+
+
 def test_politeness_invariant(engine, fixture_graph):
     """No host visited twice within its crawl delay on the logical clock."""
     _, robots = fixture_graph
@@ -170,3 +192,11 @@ def test_resume_equivalence(spark, fixture_graph, sim, tmp_path_factory):
     for t, s, u, h in sim.trace:
         so[h].append(u)
     assert eo == so
+    # site rows survive the resume with no duplicate per-domain inserts
+    # (the resume rebuilds the emitted-domain guard from the committed
+    # table, like the reference's getSiteId != -1 check)
+    st = e2.sites_df()
+    assert st is not None and st.count() == len(sim.sites)
+    esites = {r["domain"]: (r["robots_content"], r["sitemap_content"])
+              for r in st.collect()}
+    assert esites == sim.sites

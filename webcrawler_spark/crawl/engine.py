@@ -80,7 +80,7 @@ MAX_REDIRECT_DEPTH = 3
 DELTA_TABLES = (
     "trace", "page_visits", "consumed", "links", "images",
     "image_captions", "content_map", "page_admissions", "seen", "page_data",
-    "evictions",
+    "evictions", "site",
 )
 
 
@@ -180,16 +180,24 @@ class CrawlEngine:
             from webcrawler_spark.functions.robots import make_parse_robots_udf
 
             robots = robots.select(
-                "host", make_parse_robots_udf()(F.col("body")).alias("r")
+                "host", F.col("body").alias("robots_content"),
+                make_parse_robots_udf()(F.col("body")).alias("r")
             ).select(
-                "host",
+                "host", "robots_content",
                 F.col("r.disallow_prefixes").alias("disallow_prefixes"),
                 F.col("r.allow_prefixes").alias("allow_prefixes"),
                 F.col("r.crawl_delay_s").alias("crawl_delay_s"),
+                F.col("r.sitemaps").alias("sitemaps"),
                 F.col("r.is_html_page").alias("is_html_page"),
             )
         if "allow_prefixes" not in robots.columns:
             robots = robots.withColumn("allow_prefixes", F.array().cast("array<string>"))
+        if "robots_content" not in robots.columns:
+            # structured-only fixture (no raw bytes) — site rows carry a
+            # null robots_content, like a domain whose robots never fetched
+            robots = robots.withColumn("robots_content", F.lit(None).cast("string"))
+        if "sitemaps" not in robots.columns:
+            robots = robots.withColumn("sitemaps", F.array().cast("array<string>"))
         live_robots = robots.filter(~F.col("is_html_page"))  # WebCrawler.java:108-112
         self.host_delay = (
             live_robots.select(
@@ -206,6 +214,22 @@ class CrawlEngine:
             live_robots.select("host", "disallow_prefixes", "allow_prefixes")
             .filter(F.size("disallow_prefixes") > 0)
             .persist()
+        )
+        # site dimension for the S6-analog `site` table: the reference
+        # stores one row per crawled domain — (domain, robots_content,
+        # sitemap_content) with sitemap_content = Arrays.toString(sitemaps)
+        # on a successful raw robots fetch, nulls when robots is missing or
+        # an HTML page (DatabaseHandler.java:21-47, WebCrawler.java:83-116).
+        # Live-robots hosts carry content; every other dequeued host left-
+        # joins to nulls at emission time.
+        self.site_dim = (
+            live_robots.select(
+                F.col("host").alias("domain"),
+                "robots_content",
+                F.concat(
+                    F.lit("["), F.array_join("sitemaps", ", "), F.lit("]")
+                ).alias("sitemap_content"),
+            ).persist()
         )
 
         if resume and self.store.get_meta("last_round") is not None:
@@ -227,6 +251,7 @@ class CrawlEngine:
         self.host_state = spark.createDataFrame(
             [], "kind string, key string, next_allowed long"
         )
+        self.site_domains = spark.createDataFrame([], "domain string")
         self.content_map = spark.createDataFrame(
             [], "fp long, text string, url string, vseq long"
         )
@@ -395,6 +420,15 @@ class CrawlEngine:
         )).localCheckpoint(eager=True)
         hs = self.spark.read.parquet(f"{self.store.root}/host_state/r{last:06d}")
         self.host_state = hs.localCheckpoint(eager=True)
+        # emitted-site-rows guard: one site row per domain for the life of
+        # the store (the reference's getSiteId != -1 check), rebuilt from
+        # the committed table
+        st = self._read_all("site")
+        self.site_domains = (
+            st.select("domain").distinct()
+            if st is not None
+            else self.spark.createDataFrame([], "domain string")
+        ).localCheckpoint(eager=True)
         # reopen the carried seen-set sidecar if a completed version is
         # recorded (its _META marker certifies completion). It was last
         # refreshed at a truncation AT OR AFTER the resume cursor, i.e. it
@@ -458,6 +492,23 @@ class CrawlEngine:
         if n_picked == 0:
             picks.unpersist()
             return 0
+
+        # 2b. site rows at first dequeue per domain (S6-analog of
+        # DatabaseHandler.addSite/editSite, WebCrawler.java:77-124): the
+        # reference lazily inserts (domain, robots_content, sitemap_content)
+        # the first time a URL of that domain is dequeued — content from the
+        # raw robots fetch, nulls when robots is missing/an HTML page. Both
+        # sides of the anti-join are host-dimension-sized (broadcast).
+        new_sites = (
+            picks.select(F.col("host").alias("domain")).distinct()
+            .join(F.broadcast(self.site_domains), "domain", "left_anti")
+        )
+        self._append(
+            "site",
+            new_sites.join(F.broadcast(self.site_dim), "domain", "left")
+            .select("domain", "robots_content", "sitemap_content"),
+        )
+        self.site_domains = self.site_domains.unionByName(new_sites)
 
         # 3. politeness reservation at dequeue, both keys (WebCrawler.java:182-185)
         res = (
@@ -836,6 +887,7 @@ class CrawlEngine:
         self.visited_pages = self._ckpt(self.visited_pages.coalesce(sp), "visited_pages")
         self.content_map = self._ckpt(self.content_map.coalesce(sp), "content_map")
         self.host_state = self._ckpt(self.host_state.coalesce(sp), "host_state")
+        self.site_domains = self._ckpt(self.site_domains.coalesce(sp), "site_domains")
         self._state_dirty = False
         if self.cfg.use_bloom_prefilter:
             # sharded (partitioned) sidecar — per-shard .npy bitsets on
@@ -1143,6 +1195,15 @@ class CrawlEngine:
 
     def page_data_df(self) -> DataFrame | None:
         return self._read_all("page_data")
+
+    def sites_df(self) -> DataFrame | None:
+        """(domain, robots_content, sitemap_content) — one row per domain
+        first dequeued, the reference's crawldb.site table
+        (DatabaseHandler.java:21-47). sitemap_content is
+        Arrays.toString(sitemaps) — "[]" for a live robots with no Sitemap
+        line — and both content columns are null for domains whose robots
+        is missing or an HTML page (WebCrawler.java:96-100,108-112)."""
+        return self._read_all("site")
 
     def metrics_df(self) -> DataFrame:
         return self._read_all("metrics")

@@ -52,6 +52,7 @@ class SimResult:
     images: list = field(default_factory=list)   # (page_url, src, content_type)
     image_captions: list = field(default_factory=list)  # (page_url, src, alt)
     page_data: list = field(default_factory=list)  # (url, data_type_code|None)
+    sites: dict = field(default_factory=dict)    # domain -> (robots_content|None, sitemap_content|None)
     seen: set = field(default_factory=set)       # all admitted-or-visited URLs
 
     def trace_df(self) -> pd.DataFrame:
@@ -64,6 +65,26 @@ class SimResult:
                 for u, v in self.pages.items()
             ]
         )
+
+
+def _site_content_map(robots: pd.DataFrame):
+    """host → (robots_content, sitemap_content) for live (non-HTML-page)
+    robots — the payload of the reference's editSite on a successful raw
+    fetch (WebCrawler.java:116): raw body + Arrays.toString(sitemaps).
+    HTML-page robots and absent hosts fall through to (None, None), like
+    the addSite(domain, null, null) row that never gets edited."""
+    out = {}
+    has_body = "body" in robots.columns
+    has_maps = "sitemaps" in robots.columns
+    for _, r in robots.iterrows():
+        if bool(r.get("is_html_page", False)):
+            continue
+        maps = list(r["sitemaps"] or []) if has_maps else []
+        out[r["host"]] = (
+            r["body"] if has_body else None,
+            "[" + ", ".join(maps) + "]",
+        )
+    return out
 
 
 def _robots_maps(robots: pd.DataFrame):
@@ -101,6 +122,7 @@ def simulate(
     for r in webgraph.itertuples():
         host_ip.setdefault(r.host, r.ip)
     host_rules, delay_ms = _robots_maps(robots)
+    site_content = _site_content_map(robots)
 
     res = SimResult()
     frontier: list[tuple[int, str]] = []  # (seq, url), insertion-ordered
@@ -159,6 +181,14 @@ def simulate(
         permitted[("d", h)] = now + d
         permitted[("i", ip_of(h))] = now + d
         res.trace.append((now, sq, url, h))
+        # site row at first dequeue per domain (WebCrawler.java:77-124):
+        # content when a live robots exists, nulls otherwise. In the
+        # fixture world robots are known up-front, so fully-robots-denied
+        # hosts are never dequeued and get no row on either side (the
+        # reference, fetching robots lazily, would give them a content
+        # row) — engine and simulator agree by construction.
+        if h not in res.sites:
+            res.sites[h] = site_content.get(h, (None, None))
 
         # --- redirect chase (:346-358) ---
         landed, chain, depth = url, {url}, 0
