@@ -237,6 +237,64 @@ def test_incremental_curation_chunking_invariant(spark, sf_dir, tmp_path):
     assert _rows(b.add_batch(corpus.filter(F.col("doc_id") < 0))) == []
 
 
+def test_stream_curation_matches_batch(spark, sf_dir, tmp_path):
+    """Structured-Streaming front end (readStream → foreachBatch →
+    add_batch): draining an id-ordered file feed in two separate
+    availableNow passes — with a curator reopen and a new file landing
+    between them — yields exactly the whole-corpus batch curation, and a
+    replayed/idle pass ingests nothing twice."""
+    import os
+
+    from webcrawler_spark.curation import (
+        IncrementalCurator, pairwise_precedent_curation)
+    from webcrawler_spark.streaming.curation import stream_curation
+
+    rates = {"en": 5000, "zh": 2500}
+    corpus = _neardup_corpus(spark, sf_dir).cache()
+    twin = _rows(pairwise_precedent_curation(corpus, rates))
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    chunks = [
+        corpus.filter(F.col("doc_id") < 1_000_000),
+        corpus.filter((F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)),
+        corpus.filter(F.col("doc_id") >= 2_000_000),
+    ]
+
+    def drop(i, df):
+        # one plain parquet file per drop, mtimes strictly ascending so the
+        # file source's oldest-first ordering matches the id order
+        p = str(feed / f"part_{i}.parquet")
+        df.toPandas().to_parquet(p, index=False)
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    croot, out_dir, ckpt = (
+        str(tmp_path / "croot"), str(tmp_path / "out"), str(tmp_path / "ckpt"))
+
+    # pass 1: two files on disk → two micro-batches
+    drop(0, chunks[0])
+    drop(1, chunks[1])
+    cur = IncrementalCurator(spark, croot, rates)
+    assert stream_curation(spark, str(feed), cur, out_dir, ckpt) == 2
+
+    # a third file lands; resume with a FRESH curator instance and the same
+    # checkpoint — only the new file is ingested
+    drop(2, chunks[2])
+    cur2 = IncrementalCurator(spark, croot, rates)
+    assert stream_curation(spark, str(feed), cur2, out_dir, ckpt) == 1
+
+    got = _rows(
+        spark.read.parquet(out_dir).select("doc_id", "lang", "n_tokens", "split"))
+    assert got == twin
+
+    # idle pass: nothing new → nothing ingested, output unchanged
+    cur3 = IncrementalCurator(spark, croot, rates)
+    assert stream_curation(spark, str(feed), cur3, out_dir, ckpt) == 0
+    assert _rows(
+        spark.read.parquet(out_dir).select("doc_id", "lang", "n_tokens", "split")
+    ) == twin
+
+
 # ---------------------------------------------------------------------------
 # shard packing
 # ---------------------------------------------------------------------------
