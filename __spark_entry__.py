@@ -519,6 +519,18 @@ def _q_crawl_pages(spark, sf):
                     ).alias("page_type_code")
                 ).agg(F.count("*").cast("long").alias("n_pages"))
             )
+        # fold in the site table (one row per first-dequeued domain,
+        # DatabaseHandler.java:21-47): rows with live robots content vs
+        # null-content rows (robots missing / an HTML page)
+        st = eng.sites_df()
+        if st is not None:
+            census = census.unionByName(
+                st.groupBy(
+                    F.when(F.col("robots_content").isNotNull(),
+                           F.lit("SITE:robots"))
+                    .otherwise(F.lit("SITE:bare")).alias("page_type_code")
+                ).agg(F.count("*").cast("long").alias("n_pages"))
+            )
         out = census.orderBy("page_type_code")
         # collect + rebuild (census-sized): localCheckpoint blocks are not
         # reliable once the store root is rmtree'd (see _q_graph_export)
@@ -789,6 +801,53 @@ def _q_pair_curation(spark, sf):
     return pair_curation_funnel(spark.createDataFrame(corpus))
 
 
+def _synth_pair_meta(spark, sf):
+    """input_hint pair-table METADATA synthesized deterministically from
+    `documents` (no bytes — the curation gates only read w/h/caption/
+    phash): caption null every 13th / one-token every 17th doc,
+    resolution straddling the 4096-pixel gate, and phash built from a
+    portable 60-bit hash of a group key (every 3rd doc shares one of 25
+    groups; every 5th of those flips one low bit) so banded-Hamming<=3
+    clusters are non-vacuous and bit-for-bit reproducible in DuckDB."""
+    d = load(spark, sf, "documents")
+    grouped = F.col("doc_id") % 3 == 0
+    key = F.when(
+        grouped, F.concat(F.lit("g"), (F.col("doc_id") % 25).cast("string"))
+    ).otherwise(F.concat(F.lit("u"), F.col("doc_id").cast("string")))
+    flip = F.when(
+        grouped & (F.col("doc_id") % 5 == 0),
+        # shiftleft with a COLUMN bit position needs the SQL form (the
+        # Python helper only takes a literal int)
+        F.expr("shiftleft(cast(1 as bigint), cast(doc_id % 62 as int))"),
+    ).otherwise(F.lit(0).cast("long"))
+    caption = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 17 == 0, F.lit("x"))
+        .otherwise(F.substring("text", 1, 40))
+    )
+    from webcrawler_spark.functions.hashing import portable_hash64
+
+    return d.select(
+        F.col("doc_id").alias("image_id"),
+        (F.lit(32) + F.col("doc_id") % 97).cast("int").alias("w"),
+        (F.lit(32) + F.col("doc_id") % 53).cast("int").alias("h"),
+        caption.alias("caption"),
+        portable_hash64(key).bitwiseXOR(flip).alias("phash"),
+    )
+
+
+def _q_pair_curation_meta(spark, sf):
+    # the pair-curation DECISION logic (caption gate, resolution gate,
+    # banded-phash Hamming<=3 keep-one election) made fully oracle-
+    # checkable: same pair_curation_flags as the bytes-real pipeline
+    # above, over synthesized metadata DuckDB can reproduce exactly —
+    # the SQL mirror rebuilds the banding, the popcount verify, and the
+    # connected-components election as a recursive CTE
+    from webcrawler_spark.curation import pair_curation_flags
+
+    return pair_curation_flags(_synth_pair_meta(spark, sf)).orderBy("image_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_summary": _q_doc_summary,
@@ -835,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": _q_token_histogram,
         "incremental_curation": _q_incremental_curation,
         "pair_curation": _q_pair_curation,
+        "pair_curation_meta": _q_pair_curation_meta,
     }
 
 
@@ -889,6 +949,69 @@ def _curation_oracle_ctes() -> str:
                          keep_dedup AND quality >= 0.75 AS keep_quality,
                          keep_dedup AND quality >= 0.75 AND ({bucket} < {rate}) AS keep_sampled
                   FROM f)"""
+
+
+def _pair_curation_meta_oracle() -> str:
+    """Pure-SQL mirror of _q_pair_curation_meta: the synthesized metadata
+    table, the caption/resolution gates, the 4x16-bit phash banding +
+    popcount verify (bit semantics proven identical: arithmetic >> then
+    mask, two's-complement bit_count), and the keep-one election as a
+    recursive min-label CTE (same pattern as dedup/cluster.py's oracle)."""
+    base_key = (
+        "(CASE WHEN doc_id % 3 = 0 THEN 'g' || (doc_id % 25)::VARCHAR "
+        "ELSE 'u' || doc_id::VARCHAR END)"
+    )
+    ph_base = PORTABLE_HASH64_DUCKDB.format(col=base_key)
+    toks_cap = _DUCK_TOKS.format(col="caption")
+    return f"""
+        WITH RECURSIVE synth AS (
+            SELECT doc_id AS image_id,
+                   (32 + (doc_id % 97))::INT AS w,
+                   (32 + (doc_id % 53))::INT AS h,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        WHEN doc_id % 17 = 0 THEN 'x'
+                        ELSE substring(text, 1, 40) END AS caption,
+                   xor({ph_base},
+                       CASE WHEN doc_id % 3 = 0 AND doc_id % 5 = 0
+                            THEN (1::BIGINT << (doc_id % 62)::INT)
+                            ELSE 0::BIGINT END) AS phash
+            FROM documents
+        ),
+        gated AS (
+            SELECT image_id, w, h, phash,
+                   coalesce(caption IS NOT NULL
+                            AND len({toks_cap}) >= 2, FALSE) AS caption_ok,
+                   coalesce(caption IS NOT NULL AND len({toks_cap}) >= 2,
+                            FALSE) AND w * h >= 4096 AS gate_ok
+            FROM synth
+        ),
+        banded AS (
+            SELECT image_id, phash, b.band,
+                   ((phash >> (b.band * 16)) & 65535) AS key
+            FROM gated, (SELECT unnest([0, 1, 2, 3]) AS band) b
+            WHERE gate_ok
+        ),
+        pairs AS (
+            SELECT DISTINCT l.image_id AS a, r.image_id AS b
+            FROM banded l
+            JOIN banded r ON l.band = r.band AND l.key = r.key
+                         AND l.image_id < r.image_id
+            WHERE bit_count(xor(l.phash, r.phash)) <= 3
+        ),
+        nodes AS (SELECT a AS n FROM pairs UNION SELECT b FROM pairs),
+        edges AS (SELECT a AS u, b AS v FROM pairs
+                  UNION SELECT b, a FROM pairs),
+        reach(node, label) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+        ),
+        lab AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+        SELECT g.image_id, g.caption_ok, g.gate_ok,
+               g.gate_ok AND coalesce(l.node = l.cluster_id, TRUE) AS keep
+        FROM gated g LEFT JOIN lab l ON l.node = g.image_id
+        ORDER BY g.image_id
+    """
 
 
 def _incremental_curation_oracle() -> str:
@@ -1286,6 +1409,7 @@ def oracle_sql() -> dict[str, str]:
             FROM n GROUP BY 1 ORDER BY 1
         """,
         "incremental_curation": _incremental_curation_oracle(),
+        "pair_curation_meta": _pair_curation_meta_oracle(),
         # crawl_pages / image_invariants / image_features /
         # image_caption_pairs / pair_curation: non-SQL-expressible
         # (engine vs simulator oracle and pandas-UDF image pipelines) —
