@@ -151,3 +151,29 @@ def test_caption_equality(images_df):
     # caption ground truth re-rendered from image_id (input_hint equality)
     for r in images_df.select("image_id", "caption").collect():
         assert render_image(r["image_id"])[4] == r["caption"]
+
+
+def test_stream_image_invariants_matches_batch(spark, tmp_path):
+    """The image invariant gate as a structured stream (file feed →
+    mapInPandas → parquet sink): two availableNow passes over staggered
+    file drops produce exactly the batch result, each pass verifying only
+    the newly landed files."""
+    from webcrawler_spark.streaming.images import stream_image_invariants
+
+    pdf = make_images(24)
+    feed = tmp_path / "imgfeed"
+    feed.mkdir()
+    pdf.iloc[:16].to_parquet(str(feed / "drop_0.parquet"), index=False)
+
+    out_dir, ckpt = str(tmp_path / "inv_out"), str(tmp_path / "inv_ckpt")
+    stream_image_invariants(spark, str(feed), out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == 16
+
+    pdf.iloc[16:].to_parquet(str(feed / "drop_1.parquet"), index=False)
+    stream_image_invariants(spark, str(feed), out_dir, ckpt)
+
+    batch = sorted(
+        map(tuple, verify_invariants(spark.createDataFrame(pdf)).collect()))
+    stream = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    assert stream == batch
+    assert all(r[1] and r[2] and r[3] for r in stream)  # invariants hold
