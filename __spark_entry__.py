@@ -433,6 +433,30 @@ def _q_ivf_topk(spark, sf):
     return ivf_topk(vecs, queries, k=5, n_cells=8, nprobe=2)
 
 
+def _q_incremental_ann(spark, sf):
+    # the incremental EmbeddingIndex (similarity/incremental.py): corpus
+    # ingested in TWO batches into a sig-partitioned parquet store, then
+    # probed — answers must equal one-shot sign-LSH top-k over the whole
+    # corpus (chunking invariance: the signature is a pure per-row
+    # function). Oracle: the pure-SQL mirror of that one-shot form.
+    import shutil
+    import tempfile
+
+    from webcrawler_spark.similarity.incremental import EmbeddingIndex
+
+    vecs = load(spark, sf, "embeddings")
+    root = tempfile.mkdtemp(prefix="embidx_")
+    try:
+        idx = EmbeddingIndex(spark, root)
+        idx.add_batch(vecs.filter(F.col("vec_id") % 2 == 0))
+        idx.add_batch(vecs.filter(F.col("vec_id") % 2 == 1))
+        out = idx.topk(vecs.filter(F.col("vec_id") < 3), k=5)
+        # collect + rebuild: the store root is rmtree'd in finally
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_tumbling(spark, sf):
     # streaming-analog tumbling window aggregation
     return tumbling_counts(load(spark, sf, "events"), minutes=60)
@@ -878,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
+        "incremental_ann": _q_incremental_ann,
         "tumbling_counts": _q_tumbling,
         "sessionize": _q_sessionize,
         "url_canonicalize": _q_url_canonicalize,
@@ -949,6 +974,50 @@ def _curation_oracle_ctes() -> str:
                          keep_dedup AND quality >= 0.75 AS keep_quality,
                          keep_dedup AND quality >= 0.75 AND ({bucket} < {rate}) AS keep_sampled
                   FROM f)"""
+
+
+def _incremental_ann_oracle() -> str:
+    """Pure-SQL mirror of _q_incremental_ann's FINAL answer: sign-LSH
+    top-5 over the whole corpus (chunked ingest ≡ one-shot by the pure
+    per-row signature), asymmetric Hamming-1 probing on the query side,
+    exact rounded cosine, ties broken by neighbor id."""
+    from webcrawler_spark.dedup.embedding import (
+        LSH_PLANES, sign_signature_duckdb)
+
+    sig = sign_signature_duckdb(64, qv_expr="qv")
+    probes = ", ".join(
+        ["sig"] + [f"xor(sig, {1 << i})" for i in range(LSH_PLANES)])
+    return f"""
+        WITH v AS (
+            SELECT vec_id::BIGINT AS id,
+                   list_transform(embedding, x -> x::DOUBLE) AS v,
+                   list_transform(embedding, x -> round(x::DOUBLE * 1000)::BIGINT) AS qv
+            FROM embeddings
+        ), s AS (
+            SELECT id, v, {sig} AS sig FROM v
+        ), q AS (
+            SELECT id AS query_id, v AS qvec,
+                   unnest([{probes}]) AS bucket
+            FROM s WHERE id < 3
+        ), cand AS (
+            SELECT DISTINCT p.query_id, c.id AS neighbor_id
+            FROM q p JOIN s c ON c.sig = p.bucket AND c.id <> p.query_id
+        ), scored AS (
+            SELECT cd.query_id, cd.neighbor_id,
+                   round(list_dot_product(x.v, y.v) /
+                         (sqrt(list_dot_product(x.v, x.v)) *
+                          sqrt(list_dot_product(y.v, y.v))), 6) AS cos
+            FROM cand cd
+            JOIN s x ON x.id = cd.query_id
+            JOIN s y ON y.id = cd.neighbor_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+            ) AS rank FROM scored
+        )
+        SELECT query_id, neighbor_id, cos, rank::INT AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
 
 
 def _pair_curation_meta_oracle() -> str:
@@ -1409,6 +1478,7 @@ def oracle_sql() -> dict[str, str]:
             FROM n GROUP BY 1 ORDER BY 1
         """,
         "incremental_curation": _incremental_curation_oracle(),
+        "incremental_ann": _incremental_ann_oracle(),
         "pair_curation_meta": _pair_curation_meta_oracle(),
         # crawl_pages / image_invariants / image_features /
         # image_caption_pairs / pair_curation: non-SQL-expressible

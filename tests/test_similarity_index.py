@@ -64,6 +64,43 @@ def test_lsh_topk_precision(vecs):
         assert abs(r["cos"] - round(c, 6)) < 1e-5  # precision 1: exact cosines
 
 
+def test_embedding_index_chunking_invariant(spark, vecs, tmp_path):
+    """Incremental EmbeddingIndex: any ingest chunking answers topk
+    identically to one-shot ingest; returned cosines are exact; a reopen
+    from disk (fresh instance, same root) sees the carried state."""
+    from webcrawler_spark.similarity.incremental import EmbeddingIndex
+
+    queries = vecs.filter(F.col("vec_id") < 3)
+
+    one = EmbeddingIndex(spark, str(tmp_path / "one"))
+    assert one.add_batch(vecs) == vecs.count()
+    want = sorted(map(tuple, one.topk(queries, k=5).collect()))
+    # 100 vectors over 256 sign buckets → probes are sparse; every query
+    # must still find SOME neighbor, with dense ranks from 1
+    per_q = {}
+    for q, n, cos, rank in want:
+        per_q.setdefault(q, []).append(rank)
+    assert set(per_q) == {0, 1, 2}
+    assert all(sorted(rs) == list(range(1, len(rs) + 1)) for rs in per_q.values())
+
+    three_root = str(tmp_path / "three")
+    a = EmbeddingIndex(spark, three_root)
+    a.add_batch(vecs.filter(F.col("vec_id") % 3 == 0))
+    a.add_batch(vecs.filter(F.col("vec_id") % 3 == 1))
+    b = EmbeddingIndex(spark, three_root)  # reopen from disk
+    b.add_batch(vecs.filter(F.col("vec_id") % 3 == 2))
+    got = sorted(map(tuple, b.topk(queries, k=5).collect()))
+    assert got == want
+
+    # precision 1: every returned cosine is the exact (rounded) cosine
+    pd = vecs.toPandas()
+    m = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in pd.itertuples()}
+    for q, n, cos, rank in got:
+        a_, b_ = m[q], m[n]
+        c = float(a_ @ b_ / (np.linalg.norm(a_) * np.linalg.norm(b_)))
+        assert abs(cos - round(c, 6)) < 1e-5
+
+
 def test_ivf_topk_precision_and_cells(vecs):
     """IVF-flat: every returned cosine is exact (precision 1), ranks are
     dense per query, and every neighbor really lives in one of the

@@ -128,6 +128,41 @@ def _sign_planes(dim: int) -> list[list[int]]:
     return [[rng.choice((-1, 1)) for _ in range(dim)] for _ in range(LSH_PLANES)]
 
 
+def sign_signature_udf(dim: int = 64):
+    """Arrow UDF computing the portable integer sign signature in one
+    (n,dim)@(dim,planes) int64 matmul (see lsh_near_duplicate_pairs for
+    why integer quantization and why HALF_UP is reproduced via the exact
+    frac comparison, not floor(abs+0.5)). Shared by the batch LSH path
+    and the incremental EmbeddingIndex (similarity/incremental.py)."""
+    P = np.asarray(_sign_planes(dim), dtype=np.int64).T  # (dim, LSH_PLANES)
+    shifts = (1 << np.arange(LSH_PLANES, dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def sig_udf(vec: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in vec]) * 1000.0
+        A = np.abs(M)
+        base = np.floor(A)
+        Q = ((base + (A - base >= 0.5)) * np.sign(M)).astype(np.int64)
+        bits = (Q @ P) > 0
+        return pd.Series((bits * shifts).sum(axis=1))
+
+    return sig_udf
+
+
+def sign_signature_duckdb(dim: int = 64, qv_expr: str = "qv") -> str:
+    """The same signature as a DuckDB SQL expression over an
+    integer-quantized vector list (``round(x*1000)::BIGINT`` per
+    element) — shared by every oracle that mirrors the sign buckets."""
+    planes = _sign_planes(dim)
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ",".join(str(x) for x in p) + "]"
+        dot = (f"list_sum(list_transform(range(1, {dim} + 1), "
+               f"j -> {qv_expr}[j] * ({arr})[j]))")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 def lsh_near_duplicate_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -146,7 +181,6 @@ def lsh_near_duplicate_pairs(
     bit values are exact and identical in any engine regardless of
     floating summation order (a float dot's sign near 0 is not portable).
     """
-    planes = _sign_planes(dim)
     target = embeddings.sparkSession.sparkContext.defaultParallelism
     if embeddings.rdd.getNumPartitions() < target:
         # single-file parquet arrives as 1 partition; the signature lambdas
@@ -163,17 +197,7 @@ def lsh_near_duplicate_pairs(
     # (0.49999999999999994+0.5 == 1.0) where BigDecimal HALF_UP gives 0.
     # frac = abs - floor(abs) is EXACT for |v| < 2^52, so comparing it to
     # 0.5 reproduces HALF_UP bit-for-bit in every engine.
-    P = np.asarray(planes, dtype=np.int64).T  # (dim, LSH_PLANES)
-    shifts = (1 << np.arange(LSH_PLANES, dtype=np.int64))
-
-    @F.pandas_udf("long")
-    def sig_udf(vec: pd.Series) -> pd.Series:
-        M = np.stack([np.asarray(x, dtype=np.float64) for x in vec]) * 1000.0
-        A = np.abs(M)
-        base = np.floor(A)
-        Q = ((base + (A - base >= 0.5)) * np.sign(M)).astype(np.int64)
-        bits = (Q @ P) > 0
-        return pd.Series((bits * shifts).sum(axis=1))
+    sig_udf = sign_signature_udf(dim)
 
     v = embeddings.select(
         F.col(id_col).cast("long").alias("id"),
@@ -215,14 +239,7 @@ def lsh_near_duplicate_oracle_sql(
     """DuckDB mirror of `lsh_near_duplicate_pairs` — same planes, same
     integer signature arithmetic, same ASYMMETRIC Hamming-1 probing
     (left = own signature bucket, right = own + single-bit flips)."""
-    planes = _sign_planes(dim)
-    sig_terms = []
-    for i, p in enumerate(planes):
-        arr = "[" + ",".join(str(x) for x in p) + "]"
-        dot = (f"list_sum(list_transform(range(1, {dim} + 1), "
-               f"j -> qv[j] * ({arr})[j]))")
-        sig_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
-    sig = " + ".join(sig_terms)
+    sig = sign_signature_duckdb(dim, qv_expr="qv")
     probes = ", ".join(["sig"] + [f"xor(sig, {1 << i})" for i in range(LSH_PLANES)])
     return f"""
         WITH v AS (
