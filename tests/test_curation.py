@@ -237,6 +237,37 @@ def test_incremental_curation_chunking_invariant(spark, sf_dir, tmp_path):
     assert _rows(b.add_batch(corpus.filter(F.col("doc_id") < 0))) == []
 
 
+def test_incremental_curation_compaction_invariant(spark, sf_dir, tmp_path):
+    """Mid-stream compact() of the curator's carried state (fp index +
+    NearDupIndex dirs) shrinks file counts and changes NO decision: the
+    3-chunk ingest with a compaction between batches still equals the
+    whole-corpus twin."""
+    from webcrawler_spark.curation import (
+        IncrementalCurator, pairwise_precedent_curation)
+    from webcrawler_spark.storage.compaction import n_data_files
+
+    rates = {"en": 5000, "zh": 2500}
+    corpus = _neardup_corpus(spark, sf_dir).cache()
+    twin = _rows(pairwise_precedent_curation(corpus, rates))
+    chunks = [
+        corpus.filter(F.col("doc_id") < 1_000_000),
+        corpus.filter((F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)),
+        corpus.filter(F.col("doc_id") >= 2_000_000),
+    ]
+    c = IncrementalCurator(spark, str(tmp_path / "croot"), rates)
+    out = _rows(c.add_batch(chunks[0])) + _rows(c.add_batch(chunks[1]))
+    before = (n_data_files(c._fp_dir)
+              + n_data_files(f"{c.root}/neardup/bands")
+              + n_data_files(f"{c.root}/neardup/shingles"))
+    stats = c.compact()
+    after = (n_data_files(c._fp_dir)
+             + n_data_files(f"{c.root}/neardup/bands")
+             + n_data_files(f"{c.root}/neardup/shingles"))
+    assert after < before and after == sum(stats.values())
+    out += _rows(c.add_batch(chunks[2]))
+    assert sorted(out) == twin
+
+
 def test_stream_curation_matches_batch(spark, sf_dir, tmp_path):
     """Structured-Streaming front end (readStream → foreachBatch →
     add_batch): draining an id-ordered file feed in two separate

@@ -101,6 +101,32 @@ def test_embedding_index_chunking_invariant(spark, vecs, tmp_path):
         assert abs(cos - round(c, 6)) < 1e-5
 
 
+def test_embedding_index_compaction_invariant(spark, vecs, tmp_path):
+    """compact() rewrites the per-batch file adds into one file per sig
+    partition: answers identical, data-file count strictly reduced, and
+    ingest keeps working afterwards."""
+    from webcrawler_spark.similarity.incremental import EmbeddingIndex
+    from webcrawler_spark.storage.compaction import n_data_files
+
+    idx = EmbeddingIndex(spark, str(tmp_path / "idx"))
+    # 4 batches with IDENTICAL embeddings under shifted ids → every sig
+    # partition accumulates one file per batch (the worst small-file case)
+    for m in range(4):
+        idx.add_batch(vecs.select(
+            (F.col("vec_id") + 1000 * m).alias("vec_id"), "embedding"))
+    queries = vecs.filter(F.col("vec_id") < 3)
+    want = sorted(map(tuple, idx.topk(queries, k=5).collect()))
+    before = n_data_files(idx._vec_dir)
+    after = idx.compact()
+    assert after < before
+    assert sorted(map(tuple, idx.topk(queries, k=5).collect())) == want
+    # appends after compaction still land and are visible
+    idx.add_batch(vecs.select(
+        (F.col("vec_id") + 4000).alias("vec_id"), "embedding"))
+    again = idx.topk(queries, k=5).collect()
+    assert len(again) >= len(want)
+
+
 def test_ivf_topk_precision_and_cells(vecs):
     """IVF-flat: every returned cosine is exact (precision 1), ranks are
     dense per query, and every neighbor really lives in one of the

@@ -418,6 +418,23 @@ class IncrementalCurator:
         self._set_hwm(hi)
         return out
 
+    # -- maintenance --------------------------------------------------------
+    def compact(self) -> dict:
+        """Offline small-file compaction of the carried state (the
+        fingerprint index and the NearDupIndex band/shingle dirs — each
+        grows one file per ingested batch). Results invariant; call
+        between ingests. Batch staging dirs are NOT touched: returned
+        survivor frames read them lazily."""
+        import os
+
+        from webcrawler_spark.storage.compaction import compact_parquet_dir
+
+        out = {}
+        if os.path.exists(f"{self._fp_dir}/_SUCCESS"):
+            out["fp_files"] = compact_parquet_dir(self.spark, self._fp_dir)
+        out["band_files"], out["shingle_files"] = self.nd.compact()
+        return out
+
 
 def pairwise_precedent_curation(
     corpus: DataFrame,

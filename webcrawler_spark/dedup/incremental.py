@@ -140,3 +140,17 @@ class NearDupIndex:
         nb.write.mode("append").partitionBy("band").parquet(f"{self.root}/bands")
         sh_new.write.mode("append").parquet(f"{self.root}/shingles")
         return out
+
+    # -- maintenance --------------------------------------------------------
+    def compact(self) -> tuple[int, int]:
+        """Offline small-file compaction (storage/compaction.py): rewrite
+        each band partition / the shingle dir into few large files.
+        Results invariant; run between ingests, not during one."""
+        from webcrawler_spark.storage.compaction import compact_parquet_dir
+
+        if not self._have_state():
+            return (0, 0)
+        nb = compact_parquet_dir(
+            self.spark, f"{self.root}/bands", partition_by=["band"])
+        ns = compact_parquet_dir(self.spark, f"{self.root}/shingles")
+        return (nb, ns)

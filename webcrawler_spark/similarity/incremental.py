@@ -79,6 +79,18 @@ class EmbeddingIndex:
         batch.write.partitionBy("sig").mode("append").parquet(self._vec_dir)
         return batch.count()
 
+    # -- maintenance --------------------------------------------------------
+    def compact(self) -> int:
+        """Offline small-file compaction (storage/compaction.py): rewrite
+        each signature partition's per-batch file adds into one file.
+        Results invariant; run between ingests."""
+        from webcrawler_spark.storage.compaction import compact_parquet_dir
+
+        if not self._have_state():
+            return 0
+        return compact_parquet_dir(
+            self.spark, self._vec_dir, partition_by=["sig"])
+
     # -- query ------------------------------------------------------------
     def topk(
         self, queries: DataFrame, k: int = 5, id_col: str = "vec_id",

@@ -1,0 +1,81 @@
+"""Small-file compaction for append-only incremental state dirs.
+
+Every incremental index in this repo grows by parquet FILE ADDS — the
+curator's fingerprint dir, ``NearDupIndex``'s band/shingle dirs, the
+``EmbeddingIndex`` signature partitions. That is the right per-batch
+cost model (never rewrite carried state on ingest), but after many
+batches each partition holds one tiny file per batch: at 10^5 ingests a
+probe pays 10^5 footer reads per touched partition and the namenode/
+object-store pays the listing. The standard fix (what Iceberg's
+``rewrite_data_files`` / OPTIMIZE does) is an OFFLINE compaction pass
+that rewrites each partition's many small files into few large ones —
+results are invariant; only file counts change.
+
+``compact_parquet_dir`` is that pass over a plain parquet dir:
+
+  1. read the dir (partition columns preserved),
+  2. write a compacted copy to ``<dir>.__compact_tmp`` —
+     ``files_per_partition`` output files per partition-dir (repartition
+     by the partition columns), or a plain coalesce when the dir is
+     unpartitioned,
+  3. atomically swap: rename old → ``<dir>.__compact_old``, tmp → dir,
+     delete old.
+
+The swap is two directory renames — crash between them leaves either
+the old dir or both (the leftover is re-usable/removable; the data dir
+is never absent AND incomplete). Readers in THIS engine open state dirs
+per job (no long-lived handles), matching the single-driver ingest
+model; a multi-writer production deployment would do this through the
+table format's transaction log instead (the SnapshotStore/Iceberg
+boundary, storage/snapshots.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["compact_parquet_dir", "n_data_files"]
+
+
+def n_data_files(path: str) -> int:
+    """Count parquet data files under ``path`` (compaction's metric)."""
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+    files_per_partition: int = 1,
+) -> int:
+    """Rewrite ``path`` with few large files per partition; returns the
+    data-file count after. Contents are invariant (tested); only layout
+    changes. ``partition_by`` must name the dir's existing partition
+    columns (they are re-applied to the compacted copy)."""
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    old = path.rstrip("/") + ".__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    if partition_by:
+        # one shuffle keyed by the partition columns: all rows of one
+        # partition value land in one task → exactly one file per
+        # partition dir (files_per_partition applies to the flat case;
+        # partitioned dirs compact to the minimum)
+        keys = [F.col(c) for c in partition_by]
+        (df.repartition(*keys)
+           .write.partitionBy(*partition_by).mode("overwrite").parquet(tmp))
+    else:
+        df.coalesce(max(1, files_per_partition)).write.mode(
+            "overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_data_files(path)
