@@ -200,3 +200,43 @@ def test_resume_equivalence(spark, fixture_graph, sim, tmp_path_factory):
     esites = {r["domain"]: (r["robots_content"], r["sitemap_content"])
               for r in st.collect()}
     assert esites == sim.sites
+
+
+def test_resume_after_store_compaction(spark, fixture_graph, sim, tmp_path_factory):
+    """Kill after k rounds, COMPACT the store's delta dirs
+    (storage/compaction.py), resume — final pages/seen/trace/sites still
+    equal the simulator: every resume reconstruction is a pure function
+    of delta rows, which the merge preserves exactly."""
+    from webcrawler_spark.storage.compaction import compact_crawl_store
+
+    wg, robots = fixture_graph
+    root = str(tmp_path_factory.mktemp("crawl_compact"))
+    wg_df = spark.createDataFrame(wg)
+    robots_df = spark.createDataFrame(robots)
+    e1 = CrawlEngine(
+        spark, wg_df, robots_df, list(SEED_URLS),
+        CrawlConfig(store_root=root, max_rounds=6, checkpoint_every=2,
+                    collect_metrics=False),
+    )
+    e1.run()
+    stats = compact_crawl_store(spark, root)
+    assert stats, "multi-round commit must leave something to compact"
+    import glob as _g
+    for t in stats:  # exactly one committed delta dir remains per table
+        assert len(_g.glob(f"{root}/{t}/delta_r*")) == 1
+    e2 = CrawlEngine(
+        spark, wg_df, robots_df, list(SEED_URLS),
+        CrawlConfig(store_root=root, max_rounds=300, checkpoint_every=5,
+                    collect_metrics=False),
+        resume=True,
+    )
+    assert e2._start_round == 6
+    e2.run()
+    epages = {r["url"]: r["page_type_code"] for r in e2.pages_df().collect()}
+    assert epages == {u: v["page_type_code"] for u, v in sim.pages.items()}
+    assert {r["url"] for r in e2.seen_df().collect()} == sim.seen
+    etrace = {(r["time_ms"], r["url"]) for r in e2.trace_df().collect()}
+    assert etrace == {(t, u) for (t, s, u, h) in sim.trace}
+    esites = {r["domain"]: (r["robots_content"], r["sitemap_content"])
+              for r in e2.sites_df().collect()}
+    assert esites == sim.sites

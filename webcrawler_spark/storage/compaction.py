@@ -79,3 +79,62 @@ def compact_parquet_dir(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return n_data_files(path)
+
+
+def compact_crawl_store(spark: SparkSession, store_root: str) -> dict:
+    """Merge each crawl table's COMMITTED per-round delta dirs into one
+    delta at the resume cursor — the store-level form of the index
+    compaction above (Iceberg's snapshot-expire + rewrite in one move for
+    this parquet layout). Run between crawl runs (the engine re-lists
+    deltas at startup); a resumed run reconstructs identical state
+    because every reconstruction (frontier/seen/eviction counting —
+    crawl/engine.py:_load_state) is a pure function of delta ROWS, which
+    a merge preserves exactly.
+
+    Per table: dirs ``delta_r{N}`` with N ≤ the manifest cursor merge
+    into one ``delta_r{cursor}`` inside a shadow TABLE dir, everything
+    else (orphan dirs past the cursor — a crash's leftovers the cursor
+    already ignores) is carried over by rename, then the whole table dir
+    is swapped in two renames. A crash between them leaves the table
+    under its ``.__compact_old`` name with all data intact (recovery:
+    rename it back); merged source data is deleted only after the swap
+    succeeds. Returns {table: data-file count after} for compacted
+    tables."""
+    import glob
+    import json
+
+    with open(os.path.join(store_root, "MANIFEST.json")) as f:
+        manifest = json.load(f)
+    last = manifest.get("meta", {}).get("last_round")
+    if last is None:
+        return {}
+    out = {}
+    tables = sorted(
+        d for d in os.listdir(store_root)
+        if os.path.isdir(os.path.join(store_root, d))
+        and glob.glob(os.path.join(store_root, d, "delta_r*"))
+    )
+    for table in tables:
+        tdir = os.path.join(store_root, table)
+        dirs = [
+            p for p in sorted(glob.glob(os.path.join(tdir, "delta_r*")))
+            if int(p.rsplit("delta_r", 1)[-1]) <= last
+        ]
+        if len(dirs) <= 1:
+            continue
+        tmp_tdir, old_tdir = tdir + ".__compact_tmp", tdir + ".__compact_old"
+        shutil.rmtree(tmp_tdir, ignore_errors=True)
+        shutil.rmtree(old_tdir, ignore_errors=True)
+        merged = spark.read.parquet(*dirs)
+        merged.coalesce(max(1, spark.sparkContext.defaultParallelism // 4)) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(tmp_tdir, f"delta_r{last:06d}"))
+        for entry in sorted(os.listdir(tdir)):
+            p = os.path.join(tdir, entry)
+            if p not in dirs:
+                os.rename(p, os.path.join(tmp_tdir, entry))
+        os.rename(tdir, old_tdir)
+        os.rename(tmp_tdir, tdir)
+        shutil.rmtree(old_tdir)
+        out[table] = n_data_files(tdir)
+    return out
