@@ -74,7 +74,9 @@ def test_spark_submit_pyfiles_kill_resume(tmp_path):
             "--shuffle-partitions", str(cores),
         ]
         if resume:
-            cmd.append("--resume")
+            # the resumed driver also compacts the store's delta dirs
+            # first — resume-from-compacted through the REAL binary
+            cmd += ["--resume", "--compact"]
         r = subprocess.run(cmd, env=env, cwd=str(tmp_path),
                            capture_output=True, text=True, timeout=900)
         assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-4000:])
@@ -88,6 +90,7 @@ def test_spark_submit_pyfiles_kill_resume(tmp_path):
     # resume from the snapshot store on a resized "cluster", finish
     s2 = run(ROUNDS, resume=True, cores=4)
     assert s2["resumed"] and s2["trace_rows"] >= s1["visited"]
+    assert s2["compacted"], "the killed run committed >1 delta per table"
 
     # oracle: the single-threaded reference-semantics simulator on the
     # SAME deterministic fixture graph, run clean (no kill) to completion

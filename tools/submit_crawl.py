@@ -57,6 +57,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="enable the sharded Bloom seen-set prefilter")
     ap.add_argument("--no-export", action="store_true",
                     help="skip the <store>/export parquet result views")
+    ap.add_argument("--compact", action="store_true",
+                    help="before (or instead of) crawling, merge the "
+                         "store's committed per-round delta dirs "
+                         "(storage/compaction.py); with --rounds 0 this "
+                         "is a pure maintenance run")
     args = ap.parse_args(argv)
 
     # imports resolve from --py-files; nothing here assumes a repo checkout
@@ -77,6 +82,17 @@ def main(argv: list[str] | None = None) -> None:
         )
         wg = spark.createDataFrame(wg_pd)
         robots = spark.createDataFrame(robots_pd)
+
+    compacted = None
+    if args.compact:
+        from webcrawler_spark.storage.compaction import compact_crawl_store
+
+        compacted = compact_crawl_store(spark, args.store)
+        if args.rounds <= 0:  # pure maintenance invocation
+            print(json.dumps({"compacted": compacted, "store": args.store}),
+                  flush=True)
+            spark.stop()
+            return
 
     seeds = args.seeds.split(",") if args.seeds else list(SEED_URLS)
     cfg = CrawlConfig(
@@ -108,6 +124,7 @@ def main(argv: list[str] | None = None) -> None:
         "wall_s": wall,
         "store": args.store,
         "resumed": bool(args.resume),
+        "compacted": compacted,
         "master": spark.sparkContext.master,
         "default_parallelism": spark.sparkContext.defaultParallelism,
     }), flush=True)

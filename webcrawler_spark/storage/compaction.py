@@ -103,7 +103,10 @@ def compact_crawl_store(spark: SparkSession, store_root: str) -> dict:
     import glob
     import json
 
-    with open(os.path.join(store_root, "MANIFEST.json")) as f:
+    mpath = os.path.join(store_root, "MANIFEST.json")
+    if not os.path.exists(mpath):
+        return {}  # nothing ever committed here
+    with open(mpath) as f:
         manifest = json.load(f)
     last = manifest.get("meta", {}).get("last_round")
     if last is None:
