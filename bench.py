@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
     "ann_topk",
+    "incremental_ann",
     "ivf_topk",
     "tumbling_counts",
     "sessionize",

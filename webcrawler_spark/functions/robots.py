@@ -14,6 +14,15 @@ prefix rules) for the ``*`` agent, matching the reference's library use
 (crawlercommons-shaped behavior at the granularity the engine needs:
 prefix Disallow/Allow, crawl-delay, sitemaps).
 
+Google-extension wildcard rules (``Disallow: /*?view_mode*`` —
+e-uprava.gov.si serves these for real, see tests/test_real_robots_log.py)
+are kept as literal prefixes: no URL path starts with ``/*``, so such a
+rule never matches — i.e. we are PERMISSIVE where the extension would
+block. That is the safe direction for parity evidence (we can never deny
+a URL the reference demonstrably visited; asserted over all 83 logged
+visits), and the fixtures exercise only standard prefix rules, so
+engine↔simulator equality is unaffected.
+
 Surface: pure-Python ``parse_robots_py`` (simulator / fixtures) + an
 Arrow-vectorized ``parse_robots_udf`` returning a struct column.
 """

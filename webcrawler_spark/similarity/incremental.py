@@ -76,7 +76,13 @@ class EmbeddingIndex:
         """Append one batch; returns its row count. Pure file adds,
         partitioned by signature bucket (the probe unit)."""
         batch = self._with_sig(vectors, id_col, vec_col)
-        batch.write.partitionBy("sig").mode("append").parquet(self._vec_dir)
+        # shuffle by sig BEFORE the partitioned write: all rows of one
+        # bucket land in one task → ONE file per touched sig dir per batch
+        # (an unshuffled write fans out to |tasks| x |sigs per task| tiny
+        # files — the small-files problem compact() exists to fix, created
+        # at write time for no benefit)
+        (batch.repartition(F.col("sig"))
+         .write.partitionBy("sig").mode("append").parquet(self._vec_dir))
         return batch.count()
 
     # -- maintenance --------------------------------------------------------
