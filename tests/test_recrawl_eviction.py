@@ -78,6 +78,11 @@ def _crawl_with_eviction(spark, wg_df, robots_df, root, prefilter, layout):
     n = eng1.evict_seen(
         spark.createDataFrame([(u,) for u in evict], "url string"))
     assert n == len(evict)  # all picked URLs are seen and not queued
+    # compact the store at the boundary: the eviction-aware reconstruction
+    # counts admission/pick MULTIPLICITY per url, so this also proves the
+    # delta merge preserves row multisets, not just row sets
+    from webcrawler_spark.storage.compaction import compact_crawl_store
+    compact_crawl_store(spark, root)
     # cross a resume boundary: the eviction must be durable in the store
     eng2 = CrawlEngine(
         spark, wg_df, robots_df, list(SEED_URLS),
