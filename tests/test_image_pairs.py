@@ -79,6 +79,66 @@ def test_image_id_twin(engine, spark):
         assert r["image_id"] == image_id_of_src(r["src"])
 
 
+def test_stream_pair_assembly_matches_batch(engine, spark, tmp_path):
+    """Pair assembly as a structured stream over the crawl's own
+    image_captions deltas: draining the delta feed in two staggered
+    passes (with a restart between them) yields exactly the batch
+    assembly, and a replayed pass pairs nothing twice."""
+    import os
+    import shutil
+
+    from webcrawler_spark.streaming.pairs import stream_pair_assembly
+
+    caps = engine.image_captions_df()
+    keys = distinct_caption_keys(caps)
+    payload_dir = str(tmp_path / "payloads")
+    ingest_payloads(keys).write.parquet(payload_dir)
+    payloads = spark.read.parquet(payload_dir)
+
+    def rows(df):
+        return sorted(
+            (r["image_id"], bytes(r["bytes"]), r["w"], r["h"], r["fmt"],
+             r["caption"], r["phash"])
+            for r in df.collect())
+
+    want = rows(assemble_pairs(keys, payloads))
+
+    # stagger the crawl's committed caption files into a feed dir in two
+    # drops — simulating rounds landing. File-granular splits can carry
+    # the SAME src in both drops, which exercises the carried
+    # first-arrival state (the batch twin still matches because the
+    # fixture's alt is a pure function of src).
+    src_files = sorted(
+        os.path.join(r, f_)
+        for r, _d, fs in os.walk(f"{engine.store.root}/image_captions")
+        for f_ in fs if f_.endswith(".parquet"))
+    assert len(src_files) >= 2
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def drop(paths, mtime):
+        for i, p in enumerate(paths):
+            dst = str(feed / f"{int(mtime)}_{i}.parquet")
+            shutil.copyfile(p, dst)
+            os.utime(dst, (mtime, mtime))
+
+    out_dir, ckpt, state = (str(tmp_path / "pairs_out"),
+                            str(tmp_path / "ckpt"), str(tmp_path / "state"))
+    drop(src_files[:-1], 1_000_000_000)
+    n1 = stream_pair_assembly(
+        spark, str(feed), payloads, out_dir, ckpt, state)
+    assert n1 >= 1
+    drop(src_files[-1:], 1_000_000_100)
+    n2 = stream_pair_assembly(
+        spark, str(feed), payloads, out_dir, ckpt, state)
+    assert n2 >= 1
+    assert rows(spark.read.parquet(out_dir)) == want
+    # idle pass: nothing new, nothing re-paired
+    assert stream_pair_assembly(
+        spark, str(feed), payloads, out_dir, ckpt, state) == 0
+    assert rows(spark.read.parquet(out_dir)) == want
+
+
 def test_assembled_pairs_satisfy_input_hint_invariant(engine, spark):
     keys = distinct_caption_keys(engine.image_captions_df())
     n_keys = keys.count()
