@@ -110,7 +110,7 @@ def main(argv: list[str] | None = None) -> None:
     trace_rows = None
     if not args.no_export:
         for name, df in (("trace", eng.trace_df()), ("seen", eng.seen_df()),
-                         ("pages", eng.pages_df())):
+                         ("pages", eng.pages_df()), ("sites", eng.sites_df())):
             if df is not None:
                 df.write.mode("overwrite").parquet(f"{args.store}/export/{name}")
         trace_rows = spark.read.parquet(f"{args.store}/export/trace").count()

@@ -38,7 +38,9 @@ import shutil
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["compact_parquet_dir", "n_data_files"]
+__all__ = [
+    "compact_parquet_dir", "n_data_files", "recover_compaction",
+]
 
 
 def n_data_files(path: str) -> int:
@@ -59,11 +61,13 @@ def compact_parquet_dir(
     data-file count after. Contents are invariant (tested); only layout
     changes. ``partition_by`` must name the dir's existing partition
     columns (they are re-applied to the compacted copy)."""
-    df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".__compact_tmp"
     old = path.rstrip("/") + ".__compact_old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)  # crashed mid-swap last time — roll back
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
+    df = spark.read.parquet(path)
     if partition_by:
         # one shuffle keyed by the partition columns: all rows of one
         # partition value land in one task → exactly one file per
@@ -79,6 +83,37 @@ def compact_parquet_dir(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return n_data_files(path)
+
+
+def recover_compaction(root: str) -> dict:
+    """Repair the leftovers of a compaction that crashed mid-swap, for
+    any dir tree this module writes (index dirs or a crawl store).
+
+    The swap protocol renames ``X`` → ``X.__compact_old`` then
+    ``X.__compact_tmp`` → ``X``; a crash can leave (a) only the ``old``
+    (data dir absent — roll the old back), (b) both (swap completed but
+    the old was not deleted — drop the old), or (c) a stale ``tmp``
+    (pre-swap crash — drop the tmp; the source data was never touched).
+    Returns {path: action} for everything repaired. Idempotent; safe to
+    run at every startup."""
+    actions: dict[str, str] = {}
+    for dirpath, dirnames, _files in os.walk(root, topdown=True):
+        for d in list(dirnames):
+            p = os.path.join(dirpath, d)
+            if d.endswith(".__compact_old"):
+                main = p[: -len(".__compact_old")]
+                if os.path.exists(main):
+                    shutil.rmtree(p)
+                    actions[p] = "removed (swap had completed)"
+                else:
+                    os.rename(p, main)
+                    actions[p] = "rolled back (swap never completed)"
+                dirnames.remove(d)
+            elif d.endswith(".__compact_tmp"):
+                shutil.rmtree(p)
+                actions[p] = "removed (pre-swap leftover)"
+                dirnames.remove(d)
+    return actions
 
 
 def compact_crawl_store(spark: SparkSession, store_root: str) -> dict:
@@ -103,6 +138,7 @@ def compact_crawl_store(spark: SparkSession, store_root: str) -> dict:
     import glob
     import json
 
+    recover_compaction(store_root)  # heal any prior crash's leftovers
     mpath = os.path.join(store_root, "MANIFEST.json")
     if not os.path.exists(mpath):
         return {}  # nothing ever committed here

@@ -27,6 +27,11 @@ class SnapshotStore:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # heal any mid-swap leftovers of an interrupted offline compaction
+        # (storage/compaction.py) before anything reads the tree
+        from webcrawler_spark.storage.compaction import recover_compaction
+
+        recover_compaction(root)
         self._manifest_path = os.path.join(root, "MANIFEST.json")
         self._manifest = self._load_manifest()
 
