@@ -872,6 +872,57 @@ def _q_pair_curation_meta(spark, sf):
     return pair_curation_flags(_synth_pair_meta(spark, sf)).orderBy("image_id")
 
 
+def _q_gopher_quality(spark, sf):
+    # Gopher-style quality gating (Rae et al. 2021 §A1.1) over the derived
+    # multi-line page corpus; every signal 6-dp-rounded before
+    # thresholding so the keep decision is bit-portable to the oracle
+    from webcrawler_spark.functions.gopher import gopher_signals
+    from webcrawler_spark.sources.pages import synthetic_pages
+
+    d = load(spark, sf, "documents")
+    return gopher_signals(synthetic_pages(d)).orderBy("page_id")
+
+
+def _q_line_dedup(spark, sf):
+    # C4-style cross-corpus line dedup (Raffel et al. 2020 §2.2): strip
+    # lines recurring on >= 3 pages (the injected header/footer/nav
+    # boilerplate), preserving remaining line order exactly
+    from webcrawler_spark.dedup.lines import line_dedup
+    from webcrawler_spark.sources.pages import synthetic_pages
+
+    d = load(spark, sf, "documents")
+    return line_dedup(synthetic_pages(d)).orderBy("page_id")
+
+
+def _q_decontaminate(spark, sf):
+    # GPT-3-style eval-set decontamination (Brown et al. 2020 app. C):
+    # docs with doc_id % 97 == 0 form the held-out eval set; every
+    # (doc_id % 10 == 3) corpus doc gets one eval text appended so the
+    # flagged set is non-vacuous and deterministic at every sf
+    from webcrawler_spark.dedup.decontaminate import decontaminate
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    inj = ev.select(
+        (F.col("doc_id") / 97).cast("long").alias("k"), F.col("text").alias("etext")
+    )
+    corpus = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .withColumn("k", (F.col("doc_id") % 3).cast("long"))
+        .join(F.broadcast(inj), "k", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 10 == 3) & F.col("etext").isNotNull(),
+                F.concat(F.col("text"), F.lit(" "), F.col("etext")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return decontaminate(corpus, ev).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_summary": _q_doc_summary,
@@ -920,6 +971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_curation": _q_incremental_curation,
         "pair_curation": _q_pair_curation,
         "pair_curation_meta": _q_pair_curation_meta,
+        "gopher_quality": _q_gopher_quality,
+        "line_dedup": _q_line_dedup,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -934,6 +988,10 @@ from webcrawler_spark.curation import (  # noqa: E402
     pow2_bin_duckdb as _pow2_bin_duckdb,
     rate_expr_duckdb as _rate_expr_duckdb,
 )
+from webcrawler_spark.dedup import decontaminate as _decon  # noqa: E402
+from webcrawler_spark.dedup import lines as _lines  # noqa: E402
+from webcrawler_spark.functions import gopher as _gopher  # noqa: E402
+from webcrawler_spark.sources import pages as _pages  # noqa: E402
 
 
 # DuckDB twin of functions.text.quality_score (same arithmetic as the
@@ -1480,6 +1538,21 @@ def oracle_sql() -> dict[str, str]:
         "incremental_curation": _incremental_curation_oracle(),
         "incremental_ann": _incremental_ann_oracle(),
         "pair_curation_meta": _pair_curation_meta_oracle(),
+        "gopher_quality": _gopher.gopher_oracle_sql(_pages.synthetic_pages_duckdb()),
+        "line_dedup": _lines.line_dedup_oracle_sql(_pages.synthetic_pages_duckdb()),
+        "decontaminate": _decon.decontaminate_oracle_sql(
+            corpus_cte="""
+                SELECT d.doc_id,
+                       CASE WHEN d.doc_id % 10 = 3 AND e.etext IS NOT NULL
+                            THEN d.text || ' ' || e.etext
+                            ELSE d.text END AS text
+                FROM (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0) d
+                LEFT JOIN (SELECT (doc_id // 97) AS k, text AS etext
+                           FROM documents WHERE doc_id % 97 = 0) e
+                  ON e.k = d.doc_id % 3
+            """,
+            eval_cte="SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0",
+        ),
         # crawl_pages / image_invariants / image_features /
         # image_caption_pairs / pair_curation: non-SQL-expressible
         # (engine vs simulator oracle and pandas-UDF image pipelines) —

@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "max_freq_word",
     "graph_export",
     "extraction_golden",
+    "gopher_quality",
+    "line_dedup",
+    "decontaminate",
 ]
 
 CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "600"))

@@ -1,0 +1,216 @@
+"""Tests for the round-3 training-pipeline text operators: Gopher-style
+quality gating, C4-style cross-corpus line dedup, GPT-3-style eval-set
+decontamination, and the deterministic multi-line page generator they run
+over. Each operator is checked against an independent brute-force Python
+recompute (the driver separately checks the DuckDB twins)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from webcrawler_spark.dedup.decontaminate import NGRAM_N, decontaminate
+from webcrawler_spark.dedup.lines import line_dedup
+from webcrawler_spark.functions.gopher import (
+    MAX_DUP_LINE_FRAC,
+    MAX_TOP_BIGRAM_FRAC,
+    gopher_signals,
+)
+from webcrawler_spark.functions.text import STOPWORDS_EN
+from webcrawler_spark.sources.pages import (
+    FOOTER,
+    HEADER,
+    N_PAGES,
+    N_SITES,
+    NAV_PREFIX,
+    SPAM_LINE,
+    synthetic_pages,
+)
+
+
+def _tok(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+# ---------------------------------------------------------------- pages
+
+
+def test_synthetic_pages_structure(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    rows = {r.page_id: r for r in synthetic_pages(docs).collect()}
+    n_docs = docs.count()
+    assert set(rows) == set(range(min(N_PAGES, n_docs)))
+    for pid, r in rows.items():
+        assert r.site == pid % N_SITES
+        assert r.lines[0] == HEADER
+        assert r.lines[1] == f"{NAV_PREFIX}{pid % N_SITES}"
+        assert r.lines[-1] == FOOTER
+    # spam decoration lands exactly on doc_id % 8 == 7 member lines
+    spam_docs = [r.doc_id for r in docs.filter(F.col("doc_id") % 8 == 7).collect()]
+    for d in spam_docs:
+        assert SPAM_LINE in rows[d % N_PAGES].lines
+    # deterministic: a second evaluation yields identical rows
+    again = {r.page_id: r for r in synthetic_pages(docs).collect()}
+    assert {p: r.lines for p, r in rows.items()} == {p: r.lines for p, r in again.items()}
+
+
+# ---------------------------------------------------------------- gopher
+
+
+def _brute_gopher(lines: list[str]) -> dict:
+    tok = _tok(" ".join(lines))
+    nl = len(lines)
+    bigrams = [" ".join(tok[i : i + 2]) for i in range(len(tok) - 1)]
+    top_cnt = max(Counter(bigrams).values()) if bigrams else 0
+    return {
+        "n_lines": nl,
+        "n_words": len(tok),
+        "mean_word_len": round(sum(map(len, tok)) / len(tok), 6),
+        "frac_alpha_words": round(
+            sum(1 for t in tok if re.search("[a-z]", t)) / len(tok), 6
+        ),
+        "n_stopword_hits": sum(1 for t in tok if t in STOPWORDS_EN),
+        "frac_bullet_lines": round(sum(1 for l in lines if l.startswith("- ")) / nl, 6),
+        "frac_ellipsis_lines": round(sum(1 for l in lines if l.endswith("...")) / nl, 6),
+        "dup_line_frac": round(1.0 - len(set(lines)) / nl, 6),
+        "top_bigram_frac": round(top_cnt / (len(tok) - 1), 6) if len(tok) > 1 else 0.0,
+    }
+
+
+def test_gopher_signals_match_brute_force(spark):
+    good = [
+        "the quick brown fox jumps over the lazy dog and then it runs home",
+        "a different line with many common english words that we all know well",
+        "- one bullet item is fine here",
+        "yet more ordinary prose text to pad the word count past the gate",
+        "and a final sentence with the usual mix of words of normal length",
+    ] * 2  # *2 → dup_line_frac = 0.5 > gate on 'dupey', but split below
+    dupey = good  # 10 lines, 5 distinct → dup_line_frac 0.5 → dropped
+    clean = good[:5] + [
+        "second half keeps every line unique so the dup gate passes today",
+        "words continue to flow in this entirely normal looking document here",
+        "the total word count needs to clear fifty which it now does easily",
+    ]
+    spam = [SPAM_LINE] * 12 + ["the and of to a in is it you that was for on are"]
+    pages = spark.createDataFrame(
+        [(0, clean), (1, dupey), (2, spam)], "page_id int, lines array<string>"
+    )
+    got = {r.page_id: r.asDict() for r in gopher_signals(pages).collect()}
+    for pid, lines in [(0, clean), (1, dupey), (2, spam)]:
+        exp = _brute_gopher(lines)
+        for k, v in exp.items():
+            assert got[pid][k] == v, (pid, k, got[pid][k], v)
+    assert got[0]["keep_gopher"] is True
+    assert got[1]["keep_gopher"] is False  # dup_line gate
+    assert got[1]["dup_line_frac"] > MAX_DUP_LINE_FRAC
+    assert got[2]["keep_gopher"] is False  # repetition gates
+    assert got[2]["top_bigram_frac"] > MAX_TOP_BIGRAM_FRAC
+
+
+def test_gopher_non_vacuous_on_synthetic_pages(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    flags = [r.keep_gopher for r in gopher_signals(synthetic_pages(docs)).collect()]
+    assert any(flags)
+    # the spam decoration needs several member lines per page to trip the
+    # repetition gates, so the mixed-flag guarantee holds from ~500 docs up
+    if docs.count() >= 500:
+        assert not all(flags)
+
+
+# ------------------------------------------------------------- line dedup
+
+
+def test_line_dedup_strips_cross_page_boilerplate(spark):
+    pages = spark.createDataFrame(
+        [
+            (0, ["shared header", "alpha", "beta", "shared footer"]),
+            (1, ["shared header", "gamma", "twice", "shared footer"]),
+            (2, ["shared header", "twice", "delta", "shared footer"]),
+            (3, ["unique only", "epsilon"]),
+        ],
+        "page_id int, lines array<string>",
+    )
+    got = {r.page_id: r for r in line_dedup(pages, min_pages=3).collect()}
+    # header/footer on 3 pages → boilerplate; 'twice' on 2 pages → kept
+    assert got[0].clean_text == "alpha\nbeta"
+    assert got[1].clean_text == "gamma\ntwice"
+    assert got[2].clean_text == "twice\ndelta"
+    assert got[3].clean_text == "unique only\nepsilon"
+    assert [got[p].n_removed for p in range(4)] == [2, 2, 2, 0]
+    assert [got[p].n_lines for p in range(4)] == [4, 4, 4, 2]
+
+
+def test_line_dedup_empty_page_after_strip(spark):
+    pages = spark.createDataFrame(
+        [(i, ["all boiler"]) for i in range(3)], "page_id int, lines array<string>"
+    )
+    got = line_dedup(pages, min_pages=3).collect()
+    assert all(r.clean_text == "" and r.n_removed == 1 for r in got)
+
+
+def test_line_dedup_preserves_order_on_synthetic_pages(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    pages = synthetic_pages(docs)
+    raw = {r.page_id: r.lines for r in pages.collect()}
+    got = {r.page_id: r for r in line_dedup(pages).collect()}
+    # brute force: which line texts recur on >= 3 distinct pages?
+    per_line_pages: dict[str, set[int]] = {}
+    for pid, lines in raw.items():
+        for l in set(lines):
+            per_line_pages.setdefault(l, set()).add(pid)
+    boiler = {l for l, ps in per_line_pages.items() if len(ps) >= 3}
+    for pid, lines in raw.items():
+        expect = [l for l in lines if l not in boiler]
+        assert got[pid].clean_text == "\n".join(expect)
+        assert got[pid].n_removed == len(lines) - len(expect)
+        assert got[pid].n_removed >= 3  # header+nav+footer always stripped
+
+
+# ---------------------------------------------------------- decontaminate
+
+
+def _grams(text: str, n: int) -> set[str]:
+    t = _tok(text)
+    return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+
+def test_decontaminate_matches_brute_force(spark):
+    eval_rows = [
+        (0, "which planet is known as the red planet in our solar system"),
+        (1, "the mitochondria is the powerhouse of the cell as everyone knows"),
+    ]
+    corpus_rows = [
+        # contains an exact 8-gram from eval doc 0 (wrapped in noise)
+        (10, "noise before which planet is known as the red planet after noise"),
+        # contains 8-grams from BOTH eval docs
+        (11, "the mitochondria is the powerhouse of the cell and also "
+             "planet is known as the red planet in our galaxy"),
+        # shares only shorter overlaps → clean
+        (12, "the red planet is mars as everyone knows from school"),
+        (13, "totally unrelated text about fishing boats and river banks"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in decontaminate(corpus, ev).collect()}
+
+    eval_grams = set().union(*(_grams(t, NGRAM_N) for _, t in eval_rows))
+    for did, text in corpus_rows:
+        shared = _grams(text, NGRAM_N) & eval_grams
+        assert got[did].n_shared_ngrams == len(shared), (did, shared)
+        assert got[did].contaminated is (len(shared) > 0)
+    assert got[10].contaminated and got[11].contaminated
+    assert not got[12].contaminated and not got[13].contaminated
+    assert got[11].n_shared_ngrams > got[10].n_shared_ngrams
+
+
+def test_decontaminate_every_corpus_doc_reported(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"document number {i} with some filler words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(0, "nothing matches this")], "doc_id long, text string")
+    out = decontaminate(corpus, ev).collect()
+    assert sorted(r.doc_id for r in out) == list(range(20))
+    assert all(r.n_shared_ngrams == 0 and not r.contaminated for r in out)
