@@ -923,6 +923,46 @@ def _q_decontaminate(spark, sf):
     return decontaminate(corpus, ev).orderBy("doc_id")
 
 
+def _q_pii_redact(spark, sf):
+    # PII scrub (RefinedWeb/Dolma-style): the word-soup corpus carries no
+    # real PII, so deterministic emails / E.164 phones / IPv4s are
+    # injected on doc_id % 7 residues (2, 4, 6) before redaction —
+    # identically in the DuckDB oracle — keeping the counts non-vacuous
+    from webcrawler_spark.functions.pii import redact_pii
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 2,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+            )
+            .when(
+                did % 7 == 4,
+                F.concat(F.lit(" call +386"), (did + 1000000).cast("string"), F.lit(" today")),
+            )
+            .when(
+                did % 7 == 6,
+                F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".25 logged")),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(injected).orderBy("doc_id")
+
+
+def _q_lm_quality(spark, sf):
+    # CCNet-style mean unigram log-prob under a model estimated from the
+    # corpus itself; hash-keyed model join, 6-dp rounding before the mean
+    from webcrawler_spark.functions.lm import unigram_scores
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return unigram_scores(d).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_summary": _q_doc_summary,
@@ -974,6 +1014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
+        "pii_redact": _q_pii_redact,
+        "lm_quality": _q_lm_quality,
     }
 
 
@@ -991,7 +1033,23 @@ from webcrawler_spark.curation import (  # noqa: E402
 from webcrawler_spark.dedup import decontaminate as _decon  # noqa: E402
 from webcrawler_spark.dedup import lines as _lines  # noqa: E402
 from webcrawler_spark.functions import gopher as _gopher  # noqa: E402
+from webcrawler_spark.functions import lm as _lm  # noqa: E402
+from webcrawler_spark.functions import pii as _pii  # noqa: E402
 from webcrawler_spark.sources import pages as _pages  # noqa: E402
+
+# same deterministic PII injection as _q_pii_redact, in DuckDB
+_PII_CORPUS_CTE = """
+    SELECT doc_id,
+           text || CASE
+               WHEN doc_id % 7 = 2
+                   THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+               WHEN doc_id % 7 = 4
+                   THEN ' call +386' || (doc_id + 1000000)::VARCHAR || ' today'
+               WHEN doc_id % 7 = 6
+                   THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.25 logged'
+               ELSE '' END AS text
+    FROM documents
+"""
 
 
 # DuckDB twin of functions.text.quality_score (same arithmetic as the
@@ -1552,6 +1610,10 @@ def oracle_sql() -> dict[str, str]:
                   ON e.k = d.doc_id % 3
             """,
             eval_cte="SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0",
+        ),
+        "pii_redact": _pii.pii_oracle_sql(_PII_CORPUS_CTE),
+        "lm_quality": _lm.unigram_scores_oracle_sql(
+            "SELECT doc_id, text FROM documents"
         ),
         # crawl_pages / image_invariants / image_features /
         # image_caption_pairs / pair_curation: non-SQL-expressible

@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "gopher_quality",
     "line_dedup",
     "decontaminate",
+    "pii_redact",
+    "lm_quality",
 ]
 
 CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "600"))

@@ -205,6 +205,77 @@ def test_decontaminate_matches_brute_force(spark):
     assert got[11].n_shared_ngrams > got[10].n_shared_ngrams
 
 
+def test_pii_redaction_matches_brute_force(spark):
+    from webcrawler_spark.functions.pii import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IP_TOKEN,
+        IPV4_RE,
+        PHONE_RE,
+        PHONE_TOKEN,
+        redact_pii,
+    )
+
+    rows = [
+        (0, "mail me at john.doe+spam@sub.example.com or jane_x%y@a-b.org thanks"),
+        (1, "call +38612345678 or maybe +12125551234 but not 12345"),
+        (2, "server 192.168.1.254 and 10.0.0.1 replied; version 1.2 did not"),
+        (3, "a@b.c is too short a tld, +123456 too short a phone, 1.2.3 no ip"),
+        (4, "mixed: root@example.io from 172.16.254.3 dialed +4915112345678"),
+        (5, "nothing sensitive here at all"),
+    ]
+    got = {r.doc_id: r for r in redact_pii(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    for did, text in rows:
+        clean = re.sub(EMAIL_RE, EMAIL_TOKEN, text)
+        clean = re.sub(PHONE_RE, PHONE_TOKEN, clean)
+        clean = re.sub(IPV4_RE, IP_TOKEN, clean)
+        assert got[did].clean == clean, (did, got[did].clean, clean)
+        assert got[did].n_emails == len(re.findall(EMAIL_RE, text))
+        assert got[did].n_phones == len(re.findall(PHONE_RE, text))
+        assert got[did].n_ips == len(re.findall(IPV4_RE, text))
+    assert got[4].n_emails == got[4].n_phones == got[4].n_ips == 1
+    assert got[5].clean == rows[5][1]
+    # near-misses stay untouched: 1-char tld, 6-digit phone, 3-octet "ip"
+    assert got[3].n_emails == 0 and got[3].n_phones == 0 and got[3].n_ips == 0
+    assert got[3].clean == rows[3][1]
+
+
+def test_lm_quality_matches_brute_force(spark):
+    import math
+
+    from webcrawler_spark.functions.lm import unigram_scores
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the rug"),
+        (2, "zyzzyva qwerty the"),
+        (3, ""),
+    ]
+    got = {r.doc_id: r for r in unigram_scores(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        min_avg_logprob=-2.0).collect()}
+    all_tok = [t for _, txt in rows for t in _tok(txt)]
+    n = len(all_tok)
+    cnt = Counter(all_tok)
+    for did, txt in rows:
+        tok = _tok(txt)
+        assert got[did].n_tokens == len(tok)
+        if not tok:
+            assert got[did].avg_logprob is None and got[did].keep_lm is False
+            continue
+        exp = round(
+            sum(round(math.log(cnt[t] / n), 6) for t in tok) / len(tok), 6
+        )
+        assert abs(got[did].avg_logprob - exp) < 2e-6, (did, got[did].avg_logprob, exp)
+        assert got[did].keep_lm is (got[did].avg_logprob >= -2.0)
+    # rare-token doc scores strictly lower than the common-token docs
+    assert got[2].avg_logprob < got[0].avg_logprob
+    assert got[2].avg_logprob < got[1].avg_logprob
+    # and the gate separates them at the chosen threshold
+    assert got[0].keep_lm and got[1].keep_lm and not got[2].keep_lm
+
+
 def test_decontaminate_every_corpus_doc_reported(spark):
     corpus = spark.createDataFrame(
         [(i, f"document number {i} with some filler words") for i in range(20)],
