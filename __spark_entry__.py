@@ -28,6 +28,7 @@ from webcrawler_spark.dedup import embedding as _emb
 from webcrawler_spark.dedup import exact as _exact
 from webcrawler_spark.dedup import minhash as _minhash
 from webcrawler_spark.dedup import ngram as _ngram
+from webcrawler_spark.dedup import semantic as _semantic
 from webcrawler_spark.dedup import simhash as _simhash
 from webcrawler_spark.functions.hashing import PORTABLE_HASH64_DUCKDB
 from webcrawler_spark.functions.text import (
@@ -415,6 +416,16 @@ def _q_embedding_neardup_lsh(spark, sf):
     # buckets (integer-quantized signatures, Hamming-1 multiprobe) + exact
     # cosine on candidates only — replaces blocked all-pairs at scale
     return _emb.lsh_near_duplicate_pairs(load(spark, sf, "embeddings"), threshold=0.4)
+
+
+def _q_semantic_dedup(spark, sf):
+    # SemDeDup (Abbas et al. 2023): coarse-quantize the embedding space
+    # (same seedless centroids as ivf_topk), then drop every vector
+    # within cos 0.32 of a lower-id cell-mate — all-pairs work never
+    # leaves a cell, which is what makes the method web-scale
+    from webcrawler_spark.dedup.semantic import semantic_dedup
+
+    return semantic_dedup(load(spark, sf, "embeddings"))
 
 
 def _q_ann_topk(spark, sf):
@@ -991,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _q_dedup_survivors,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "semantic_dedup": _q_semantic_dedup,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "incremental_ann": _q_incremental_ann,
@@ -1463,6 +1475,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         "embedding_neardup_lsh": _emb.lsh_near_duplicate_oracle_sql(0.4),
+        "semantic_dedup": _semantic.semantic_dedup_oracle_sql(),
         "ann_topk": """
             WITH v AS (
                 SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings

@@ -292,3 +292,54 @@ def test_incremental_neardup_equals_batch(spark, docs, tmp_path_factory):
             assert key not in got, f"pair {key} reported twice"
             got[key] = r["jaccard"]
     assert got == want
+
+
+def test_semantic_dedup_vs_bruteforce(spark, sf_dir):
+    """SemDeDup drop set == a numpy brute-force of the same spec: argmax
+    rounded-cosine assignment to the 8 lowest-id centroids, drop iff a
+    lower-id cell-mate sits within rounded cos >= tau."""
+    from webcrawler_spark.dedup.semantic import semantic_dedup
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        r.vec_id: (r.cell, r.dup_of, r.keep)
+        for r in semantic_dedup(vecs, n_cells=8, tau=0.32).collect()
+    }
+
+    pdf = vecs.orderBy("vec_id").toPandas()
+    ids = pdf.vec_id.to_numpy()
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cents = Vn[np.argsort(ids)[:8]]
+    cell = np.argmax(np.round(Vn @ cents.T, 6), axis=1)
+    assert len(got) == len(ids)
+    n_dropped = 0
+    for c in range(8):
+        idx = np.where(cell == c)[0]
+        order = idx[np.argsort(ids[idx])]
+        M = np.round(Vn[order] @ Vn[order].T, 6)
+        for j, row in enumerate(order):
+            lower = [i for i in range(j) if M[j, i] >= 0.32]
+            dup_of = int(ids[order[lower[0]]]) if lower else None
+            want = (c, dup_of, dup_of is None)
+            assert got[int(ids[row])] == want, (int(ids[row]), got[int(ids[row])], want)
+            n_dropped += dup_of is not None
+    # non-vacuous on the synthetic embeddings at every sf
+    assert 0 < n_dropped < len(ids)
+
+
+def test_semantic_dedup_survivors_append_stable(spark, sf_dir):
+    """Adding new (higher-id) vectors never evicts an existing survivor:
+    min-id-wins inside a cell is append-stable by construction."""
+    from webcrawler_spark.dedup.semantic import semantic_dedup
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    hi = vecs.agg(F.max("vec_id")).first()[0]
+    subset = vecs.filter(F.col("vec_id") <= hi // 2)
+    keep_subset = {
+        r.vec_id for r in semantic_dedup(subset).filter("keep").collect()
+    }
+    keep_full = {
+        r.vec_id for r in semantic_dedup(vecs).filter("keep").collect()
+    }
+    assert keep_subset and keep_subset.issubset(keep_full)
