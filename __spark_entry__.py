@@ -965,6 +965,19 @@ def _q_pii_redact(spark, sf):
     return redact_pii(injected).orderBy("doc_id")
 
 
+def _q_dsir_weights(spark, sf):
+    # DSIR (Xie et al. 2023): hashed unigram+bigram importance ratio
+    # ln(p_target/p_raw) per doc, target = the corpus's English slice —
+    # the bounded-model (n_buckets rows, broadcast) selection pass
+    from webcrawler_spark.functions.dsir import dsir_weights
+
+    d = load(spark, sf, "documents").select("doc_id", "text", "lang")
+    return dsir_weights(
+        d.select("doc_id", "text"),
+        d.filter(F.col("lang") == "en").select("doc_id", "text"),
+    ).orderBy("doc_id")
+
+
 def _q_lm_quality(spark, sf):
     # CCNet-style mean unigram log-prob under a model estimated from the
     # corpus itself; hash-keyed model join, 6-dp rounding before the mean
@@ -1028,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "pii_redact": _q_pii_redact,
         "lm_quality": _q_lm_quality,
+        "dsir_weights": _q_dsir_weights,
     }
 
 
@@ -1045,6 +1059,7 @@ from webcrawler_spark.curation import (  # noqa: E402
 from webcrawler_spark.dedup import decontaminate as _decon  # noqa: E402
 from webcrawler_spark.dedup import lines as _lines  # noqa: E402
 from webcrawler_spark.functions import gopher as _gopher  # noqa: E402
+from webcrawler_spark.functions import dsir as _dsir  # noqa: E402
 from webcrawler_spark.functions import lm as _lm  # noqa: E402
 from webcrawler_spark.functions import pii as _pii  # noqa: E402
 from webcrawler_spark.sources import pages as _pages  # noqa: E402
@@ -1627,6 +1642,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _pii.pii_oracle_sql(_PII_CORPUS_CTE),
         "lm_quality": _lm.unigram_scores_oracle_sql(
             "SELECT doc_id, text FROM documents"
+        ),
+        "dsir_weights": _dsir.dsir_weights_oracle_sql(
+            "SELECT doc_id, text, lang FROM documents", "lang = 'en'"
         ),
         # crawl_pages / image_invariants / image_features /
         # image_caption_pairs / pair_curation: non-SQL-expressible

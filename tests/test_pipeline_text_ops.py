@@ -285,3 +285,89 @@ def test_decontaminate_every_corpus_doc_reported(spark):
     out = decontaminate(corpus, ev).collect()
     assert sorted(r.doc_id for r in out) == list(range(20))
     assert all(r.n_shared_ngrams == 0 and not r.contaminated for r in out)
+
+
+def test_dsir_weights_match_brute_force(spark):
+    """DSIR importance weights == a pure-Python mirror of the spec:
+    hashed unigram+bigram features, Laplace-smoothed target/raw unigram
+    models, 6-dp-rounded per-bucket log-ratio before the per-doc mean."""
+    import hashlib
+    import math
+
+    from webcrawler_spark.functions.dsir import dsir_weights
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox sleeps under the old tree", "en"),
+        (2, "le renard brun rapide saute par dessus le chien", "fr"),
+        (3, "der schnelle braune fuchs springt ueber den hund", "de"),
+        (4, "", "en"),
+        (5, "fox fox fox", "fr"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r.doc_id: (r.n_feats, r.avg_logratio, r.keep_dsir)
+        for r in dsir_weights(
+            df.select("doc_id", "text"),
+            df.filter("lang = 'en'").select("doc_id", "text"),
+            n_buckets=64,
+        ).collect()
+    }
+
+    B = 64
+
+    def feats(s):
+        t = [x for x in re.split(r"[^a-z0-9]+", s.lower()) if x]
+        fs = t + [a + " " + b for a, b in zip(t, t[1:])]
+        return [int(hashlib.md5(x.encode()).hexdigest()[:15], 16) % B for x in fs]
+
+    cr, ct = Counter(), Counter()
+    for _, text, lang in rows:
+        cr.update(feats(text))
+        if lang == "en":
+            ct.update(feats(text))
+    nr, nt = sum(cr.values()), sum(ct.values())
+    for doc_id, text, _ in rows:
+        fs = feats(text)
+        if not fs:
+            assert got[doc_id] == (0, None, False)
+            continue
+        lrs = [
+            round(
+                math.log(
+                    ((ct[f] + 1.0) / (nt + B)) / ((cr[f] + 1.0) / (nr + B))
+                ),
+                6,
+            )
+            for f in fs
+        ]
+        want = round(sum(lrs) / len(lrs), 6)
+        n, w, keep = got[doc_id]
+        assert n == len(fs)
+        assert abs(w - want) < 1e-9, (doc_id, w, want)
+        assert keep == (w >= 0.0)
+    # target-language docs score above the non-target ones
+    assert got[0][1] > got[2][1] and got[1][1] > got[3][1]
+
+
+def test_dsir_non_vacuous_on_documents(spark, sf_dir):
+    from webcrawler_spark.functions.dsir import dsir_weights
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dsir_weights(
+        d.select("doc_id", "text"),
+        d.filter("lang = 'en'").select("doc_id", "text"),
+    ).cache()
+    n = out.count()
+    kept = out.filter("keep_dsir").count()
+    assert 0 < kept < n
+    # the kept slice is enriched in the target language
+    en_rate_kept = (
+        out.join(d.select("doc_id", "lang"), "doc_id")
+        .filter("keep_dsir")
+        .filter("lang = 'en'")
+        .count()
+        / kept
+    )
+    en_rate_all = d.filter("lang = 'en'").count() / n
+    assert en_rate_kept > en_rate_all
