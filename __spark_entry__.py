@@ -29,6 +29,7 @@ from webcrawler_spark.dedup import exact as _exact
 from webcrawler_spark.dedup import minhash as _minhash
 from webcrawler_spark.dedup import ngram as _ngram
 from webcrawler_spark.dedup import semantic as _semantic
+from webcrawler_spark.dedup import spans as _spans
 from webcrawler_spark.dedup import simhash as _simhash
 from webcrawler_spark.functions.hashing import PORTABLE_HASH64_DUCKDB
 from webcrawler_spark.functions.text import (
@@ -965,6 +966,34 @@ def _q_pii_redact(spark, sf):
     return redact_pii(injected).orderBy("doc_id")
 
 
+_SPAN_ALPHA = (
+    "shared boilerplate segment alpha with exactly twelve repeated filler"
+    " tokens trailing here"
+)
+_SPAN_BETA = "common navigation footer beta block carrying ten duplicate filler tokens"
+
+
+def _q_span_dedup(spark, sf):
+    # exact-substring span dedup (Lee et al. 2022): the word-soup corpus
+    # has no natural k-token repeats, so two fixed boilerplate sentences
+    # are appended on doc_id % 5 == 0 / % 7 == 2 residues — identically
+    # in the DuckDB oracle — giving every non-first occurrence a span to
+    # lose while the min-(doc_id,pos) occurrence keeps its copy
+    from webcrawler_spark.dedup.spans import span_dedup
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 5 == 0, F.lit(" " + _SPAN_ALPHA)).otherwise(F.lit("")),
+            F.when(did % 7 == 2, F.lit(" " + _SPAN_BETA)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return span_dedup(injected)
+
+
 def _q_dsir_weights(spark, sf):
     # DSIR (Xie et al. 2023): hashed unigram+bigram importance ratio
     # ln(p_target/p_raw) per doc, target = the corpus's English slice —
@@ -1042,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _q_pii_redact,
         "lm_quality": _q_lm_quality,
         "dsir_weights": _q_dsir_weights,
+        "span_dedup": _q_span_dedup,
     }
 
 
@@ -1645,6 +1675,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsir_weights": _dsir.dsir_weights_oracle_sql(
             "SELECT doc_id, text, lang FROM documents", "lang = 'en'"
+        ),
+        "span_dedup": _spans.span_dedup_oracle_sql(
+            f"""
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 5 = 0 THEN ' {_SPAN_ALPHA}' ELSE '' END
+                   || CASE WHEN doc_id % 7 = 2 THEN ' {_SPAN_BETA}' ELSE '' END
+                   AS text
+            FROM documents
+            """
         ),
         # crawl_pages / image_invariants / image_features /
         # image_caption_pairs / pair_curation: non-SQL-expressible

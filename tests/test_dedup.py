@@ -343,3 +343,67 @@ def test_semantic_dedup_survivors_append_stable(spark, sf_dir):
         r.vec_id for r in semantic_dedup(vecs).filter("keep").collect()
     }
     assert keep_subset and keep_subset.issubset(keep_full)
+
+
+def test_span_dedup_hand_case(spark):
+    """First occurrence keeps its span; later exact k-token windows lose
+    every covered position; reassembly preserves order."""
+    from webcrawler_spark.dedup.spans import span_dedup
+
+    run = "one two three four five six seven eight"  # exactly k=8 tokens
+    rows = [
+        (0, f"intro {run} outro"),
+        (1, f"unrelated prefix text {run}"),          # loses the run
+        (2, "no shared window here at all today"),    # 7 tokens, untouched
+        (3, ""),                                      # empty doc
+    ]
+    got = {
+        r.doc_id: r
+        for r in span_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]), k=8
+        ).collect()
+    }
+    assert got[0].n_removed == 0 and got[0].kept_text == f"intro {run} outro"
+    assert got[1].n_removed == 8 and got[1].kept_text == "unrelated prefix text"
+    assert got[2].n_removed == 0 and got[2].kept_text == rows[2][1]
+    assert got[3] == (3, 0, 0, "")
+
+
+def test_span_dedup_injected_corpus(spark, sf_dir):
+    """On the driver corpus with the boilerplate injection: the
+    min-doc_id occurrence keeps its copy, every later one loses >= the
+    run length, and survivors are an order-preserving subsequence."""
+    from webcrawler_spark.dedup.spans import span_dedup
+    from webcrawler_spark.functions.text import tokens as spark_tokens
+
+    alpha = (
+        "shared boilerplate segment alpha with exactly twelve repeated"
+        " filler tokens trailing here"
+    )
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" " + alpha)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = {r.doc_id: r for r in span_dedup(injected, k=8).collect()}
+    toks = {
+        r.doc_id: r.t
+        for r in injected.select("doc_id", spark_tokens(F.col("text")).alias("t")).collect()
+    }
+    keepers = sorted(i for i in out if i % 5 == 0)
+    assert out[keepers[0]].n_removed == 0
+    for i in keepers[1:]:
+        assert out[i].n_removed >= 12, (i, out[i].n_removed)
+    # order-preserving subsequence check on every doc
+    for i, r in out.items():
+        kept = r.kept_text.split() if r.kept_text else []
+        assert len(kept) == r.n_tokens - r.n_removed
+        it = iter(toks[i])
+        assert all(any(t == x for x in it) for t in kept), i
