@@ -884,6 +884,20 @@ def _q_pair_curation_meta(spark, sf):
     return pair_curation_flags(_synth_pair_meta(spark, sf)).orderBy("image_id")
 
 
+def _q_aspect_batches(spark, sf):
+    # aspect-ratio bucketed batch packing over the input_hint pair table:
+    # narrow array_min argmin onto the SDXL bucket menu, then batches
+    # packed within (bucket_id, shard) so packing parallelism is
+    # buckets*shards instead of ~9 single-task sorts at 10^10 rows
+    from webcrawler_spark.multimodal.bucketing import aspect_bucket_batches
+
+    return aspect_bucket_batches(
+        _synth_pair_meta(spark, sf).select("image_id", "w", "h"),
+        batch_size=8,
+        shards=4,
+    ).orderBy("image_id")
+
+
 def _q_gopher_quality(spark, sf):
     # Gopher-style quality gating (Rae et al. 2021 §A1.1) over the derived
     # multi-line page corpus; every signal 6-dp-rounded before
@@ -1065,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_curation": _q_incremental_curation,
         "pair_curation": _q_pair_curation,
         "pair_curation_meta": _q_pair_curation_meta,
+        "aspect_batches": _q_aspect_batches,
         "gopher_quality": _q_gopher_quality,
         "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
@@ -1253,6 +1268,25 @@ def _pair_curation_meta_oracle() -> str:
                g.gate_ok AND coalesce(l.node = l.cluster_id, TRUE) AS keep
         FROM gated g LEFT JOIN lab l ON l.node = g.image_id
         ORDER BY g.image_id
+    """
+
+
+def _aspect_batches_oracle() -> str:
+    """Pure-SQL mirror of _q_aspect_batches: the synthesized w/h columns,
+    cross-join argmin onto the bucket menu (identical IEEE dist, ties to
+    the smaller bucket_id — exactly the struct comparison array_min
+    performs), then the same (bucket, shard) packing windows."""
+    from webcrawler_spark.multimodal.bucketing import aspect_batches_duckdb
+
+    return f"""
+        WITH synth AS (
+            SELECT doc_id AS image_id,
+                   (32 + (doc_id % 97))::INT AS w,
+                   (32 + (doc_id % 53))::INT AS h
+            FROM documents
+        ),
+        {aspect_batches_duckdb("synth", batch_size=8, shards=4)}
+        ORDER BY image_id
     """
 
 
@@ -1654,6 +1688,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_curation": _incremental_curation_oracle(),
         "incremental_ann": _incremental_ann_oracle(),
         "pair_curation_meta": _pair_curation_meta_oracle(),
+        "aspect_batches": _aspect_batches_oracle(),
         "gopher_quality": _gopher.gopher_oracle_sql(_pages.synthetic_pages_duckdb()),
         "line_dedup": _lines.line_dedup_oracle_sql(_pages.synthetic_pages_duckdb()),
         "decontaminate": _decon.decontaminate_oracle_sql(

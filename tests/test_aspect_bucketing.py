@@ -1,0 +1,107 @@
+"""Aspect-ratio bucketed batch packing (multimodal/bucketing.py).
+
+Invariants, each checked against a brute-force Python twin over a
+deterministic synthetic pair table:
+
+* assignment optimality — no bucket in the menu is strictly closer (in
+  the documented |w/h - bw/bh| metric) than the chosen one, and ties
+  break to the smaller bucket_id;
+* batch shape — within every (bucket_id, shard): slots are a dense
+  0..B-1 cycle under image_id order, every batch flagged is_full has
+  exactly batch_size rows, and at most ONE ragged batch exists (the
+  maximal batch_id);
+* determinism — re-running over a reshuffled input yields the identical
+  plan row-set (the plan is a pure function of the input set);
+* coverage — the synthetic w/h spread actually populates several
+  buckets and both is_full polarities, so none of the above is vacuous.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_spark.multimodal.bucketing import (
+    ASPECT_BUCKETS,
+    aspect_bucket_batches,
+)
+
+B, SHARDS = 8, 4
+
+
+@pytest.fixture(scope="module")
+def pair_meta(spark):
+    # same shape family as the driver's _synth_pair_meta: w in 32..128,
+    # h in 32..84 -> ratios 0.38..4.0, straddling the whole bucket menu
+    return spark.range(0, 700).select(
+        F.col("id").alias("image_id"),
+        (F.lit(32) + F.col("id") % 97).cast("int").alias("w"),
+        (F.lit(32) + F.col("id") % 53).cast("int").alias("h"),
+    )
+
+
+@pytest.fixture(scope="module")
+def plan(spark, pair_meta):
+    return (
+        aspect_bucket_batches(pair_meta, batch_size=B, shards=SHARDS)
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+
+
+def _best_bucket(w: int, h: int) -> tuple[int, int, int]:
+    # exact-rational twin of the argmin (Fraction avoids trusting floats
+    # in the oracle itself; the engine's IEEE dist orders identically
+    # because ties-in-double imply ties-in-rational for these magnitudes)
+    return min(
+        ASPECT_BUCKETS,
+        key=lambda b: (abs(Fraction(w, h) - Fraction(b[1], b[2])), b[0]),
+    )
+
+
+def test_assignment_is_nearest_bucket(plan):
+    seen_buckets = set()
+    for row in plan.itertuples():
+        w = 32 + int(row.image_id) % 97
+        h = 32 + int(row.image_id) % 53
+        bid, bw, bh = _best_bucket(w, h)
+        assert (row.bucket_id, row.bucket_w, row.bucket_h) == (bid, bw, bh)
+        seen_buckets.add(row.bucket_id)
+    assert len(seen_buckets) >= 4  # non-vacuous spread
+
+
+def test_batches_are_dense_and_at_most_one_ragged(plan):
+    full_seen = ragged_seen = 0
+    for (_, _), grp in plan.groupby(["bucket_id", "shard"]):
+        grp = grp.sort_values("image_id").reset_index(drop=True)
+        # dense slot cycle under image_id order
+        assert list(grp.batch_id) == [i // B for i in range(len(grp))]
+        assert list(grp.slot) == [i % B for i in range(len(grp))]
+        sizes = grp.groupby("batch_id").size()
+        ragged = sizes[sizes != B]
+        assert len(ragged) <= 1
+        if len(ragged):
+            assert ragged.index[0] == sizes.index.max()
+        for bid_, sz in sizes.items():
+            flags = set(grp[grp.batch_id == bid_].is_full)
+            assert flags == {sz == B}
+            full_seen += sz == B
+            ragged_seen += sz != B
+    assert full_seen and ragged_seen  # both polarities exercised
+
+
+def test_plan_is_pure_function_of_input_set(spark, pair_meta, plan):
+    again = (
+        aspect_bucket_batches(
+            pair_meta.orderBy(F.reverse(F.col("image_id").cast("string"))),
+            batch_size=B,
+            shards=SHARDS,
+        )
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert again.equals(plan)
