@@ -898,6 +898,23 @@ def _q_aspect_batches(spark, sf):
     ).orderBy("image_id")
 
 
+def _q_domain_cap(spark, sf):
+    # per-domain diversity cap (RefinedWeb-style): top-8 docs by portable
+    # quality per domain, with a synthesized hot domain (every 3rd doc)
+    # so the two-phase skew path is exercised, not just the window
+    from webcrawler_spark.curation import domain_cap
+    from webcrawler_spark.functions.text import quality_score
+
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("hot"))
+        .otherwise(F.col("source"))
+        .alias("domain"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    return domain_cap(d, 8).orderBy("domain", "domain_rank")
+
+
 def _q_gopher_quality(spark, sf):
     # Gopher-style quality gating (Rae et al. 2021 §A1.1) over the derived
     # multi-line page corpus; every signal 6-dp-rounded before
@@ -1080,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_curation": _q_pair_curation,
         "pair_curation_meta": _q_pair_curation_meta,
         "aspect_batches": _q_aspect_batches,
+        "domain_cap": _q_domain_cap,
         "gopher_quality": _q_gopher_quality,
         "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
@@ -1268,6 +1286,32 @@ def _pair_curation_meta_oracle() -> str:
                g.gate_ok AND coalesce(l.node = l.cluster_id, TRUE) AS keep
         FROM gated g LEFT JOIN lab l ON l.node = g.image_id
         ORDER BY g.image_id
+    """
+
+
+def _domain_cap_oracle() -> str:
+    """One-window mirror of _q_domain_cap — the two-phase sharding in the
+    engine is provably output-invariant, so the oracle needs only the
+    plain per-domain row_number."""
+    toks = _DUCK_TOKS.format(col="text")
+    return f"""
+        WITH t0 AS (SELECT doc_id, text, source, {toks} AS t FROM documents),
+        scored AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'hot' ELSE source END AS domain,
+                   {_DUCK_QUALITY} AS quality
+            FROM t0
+        ),
+        ranked AS (
+            SELECT doc_id, domain, quality,
+                   row_number() OVER (
+                       PARTITION BY domain ORDER BY quality DESC, doc_id
+                   )::INT AS domain_rank
+            FROM scored
+        )
+        SELECT doc_id, domain, quality, domain_rank
+        FROM ranked WHERE domain_rank <= 8
+        ORDER BY domain, domain_rank
     """
 
 
@@ -1689,6 +1733,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_ann": _incremental_ann_oracle(),
         "pair_curation_meta": _pair_curation_meta_oracle(),
         "aspect_batches": _aspect_batches_oracle(),
+        "domain_cap": _domain_cap_oracle(),
         "gopher_quality": _gopher.gopher_oracle_sql(_pages.synthetic_pages_duckdb()),
         "line_dedup": _lines.line_dedup_oracle_sql(_pages.synthetic_pages_duckdb()),
         "decontaminate": _decon.decontaminate_oracle_sql(

@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     "decontaminate",
     "pii_redact",
     "lm_quality",
+    "dsir_weights",
+    "span_dedup",
+    "semantic_dedup",
+    "aspect_batches",
 ]
 
 CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "600"))

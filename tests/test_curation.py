@@ -429,3 +429,44 @@ def test_pair_curation_matches_brute_force(spark):
     # survivors keep the full input_hint schema
     cols = curate_pairs(pairs).columns
     assert cols == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+
+
+# ---------------------------------------------------------------------------
+# per-domain diversity cap
+# ---------------------------------------------------------------------------
+
+def test_domain_cap_equals_single_window_and_binds(spark):
+    from pyspark.sql import Window
+    from webcrawler_spark.curation import domain_cap
+
+    # Zipf-ish skew: domain z0 holds half the corpus, long tail after
+    rows = []
+    for i in range(600):
+        dom = "z0" if i % 2 == 0 else f"d{i % 23}"
+        rows.append((i, dom, round((i * 2654435761 % 1000) / 1000.0, 6)))
+    df = spark.createDataFrame(rows, "doc_id long, domain string, quality double")
+
+    n = 7
+    got = domain_cap(df, n).select("doc_id", "domain", "quality", "domain_rank")
+
+    w = Window.partitionBy("domain").orderBy(F.desc("quality"), F.asc("doc_id"))
+    want = (
+        df.withColumn("domain_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("domain_rank") <= n)
+        .select("doc_id", "domain", "quality", "domain_rank")
+    )
+    key = ["domain", "domain_rank"]
+    assert sorted(got.collect(), key=lambda r: (r.domain, r.domain_rank)) == sorted(
+        want.collect(), key=lambda r: (r.domain, r.domain_rank)
+    )
+
+    counts = {r.domain: r.c for r in got.groupBy("domain").agg(F.count("*").alias("c")).collect()}
+    assert counts["z0"] == n  # the hot domain is actually capped
+    assert max(counts.values()) <= n
+
+    # shards is a pure parallelism knob: output identical at 1, 3, 16
+    base = sorted(got.collect())
+    for s in (1, 3, 16):
+        assert sorted(domain_cap(df, n, shards=s)
+                      .select("doc_id", "domain", "quality", "domain_rank")
+                      .collect()) == base

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from webcrawler_spark.functions.hashing import (
     PORTABLE_HASH64_DUCKDB,
     portable_hash64,
+    salted_key,
 )
 from webcrawler_spark.functions.text import (
     fingerprint64,
@@ -479,6 +480,54 @@ def pairwise_precedent_curation(
             assign_split(F.col("doc_id"), val_bp, test_bp).alias("split"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-domain diversity cap (RefinedWeb/FineWeb-style top-n per domain)
+# ---------------------------------------------------------------------------
+
+def domain_cap(
+    df: DataFrame,
+    n: int,
+    domain_col: str = "domain",
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    shards: int = 8,
+) -> DataFrame:
+    """Keep at most n docs per domain, best-quality first (ties to the
+    smaller id — a total order, so the survivor set is deterministic).
+    Web corpora are Zipf-skewed: one hot domain can hold 10^8 pages, so
+    the naive ``row_number() OVER (PARTITION BY domain)`` funnels it
+    through ONE reducer. Two phases instead:
+
+    1. local top-n within (domain, cheap-salt shard) — the hot domain
+       fans out over `shards` reducers;
+    2. global top-n among the <= shards*n survivors per domain — the
+       second window's per-domain input is bounded by shards*n rows
+       regardless of corpus size.
+
+    The result equals the single-window form exactly (any global top-n
+    row is a top-n row of its own shard), so the salt may be the cheap
+    non-portable xxhash64 — the OUTPUT carries no trace of it, which is
+    what keeps the DuckDB oracle a plain one-window mirror. At cluster
+    scale set shards so the hottest domain / shards fits one task.
+
+    Adds ``domain_rank`` (1-based, int). quality_col must already be
+    the 6-dp-rounded portable score if oracle parity is wanted."""
+    order = [F.desc(quality_col), F.asc(id_col)]
+    w1 = Window.partitionBy(domain_col, "_shard").orderBy(*order)
+    cand = (
+        df.withColumn("_shard", salted_key(F.col(id_col).cast("string"), shards))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= n)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        cand.withColumn("domain_rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("domain_rank") <= n)
+        .drop("_shard")
     )
 
 
