@@ -926,6 +926,17 @@ def _q_gopher_quality(spark, sf):
     return gopher_signals(synthetic_pages(d)).orderBy("page_id")
 
 
+def _q_repetition_signals(spark, sf):
+    # Gopher §A1.2 repetition family over the same derived page corpus:
+    # top-{2,3,4}-gram and dup-{5..10}-gram char fractions + dup-line
+    # char fraction, one shared explode + hash-keyed aggregates
+    from webcrawler_spark.functions.repetition import repetition_signals
+    from webcrawler_spark.sources.pages import synthetic_pages
+
+    d = load(spark, sf, "documents")
+    return repetition_signals(synthetic_pages(d)).orderBy("page_id")
+
+
 def _q_line_dedup(spark, sf):
     # C4-style cross-corpus line dedup (Raffel et al. 2020 §2.2): strip
     # lines recurring on >= 3 pages (the injected header/footer/nav
@@ -1099,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_batches": _q_aspect_batches,
         "domain_cap": _q_domain_cap,
         "gopher_quality": _q_gopher_quality,
+        "repetition_signals": _q_repetition_signals,
         "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
         "pii_redact": _q_pii_redact,
@@ -1122,6 +1134,7 @@ from webcrawler_spark.curation import (  # noqa: E402
 from webcrawler_spark.dedup import decontaminate as _decon  # noqa: E402
 from webcrawler_spark.dedup import lines as _lines  # noqa: E402
 from webcrawler_spark.functions import gopher as _gopher  # noqa: E402
+from webcrawler_spark.functions import repetition as _repetition  # noqa: E402
 from webcrawler_spark.functions import dsir as _dsir  # noqa: E402
 from webcrawler_spark.functions import lm as _lm  # noqa: E402
 from webcrawler_spark.functions import pii as _pii  # noqa: E402
@@ -1735,6 +1748,9 @@ def oracle_sql() -> dict[str, str]:
         "aspect_batches": _aspect_batches_oracle(),
         "domain_cap": _domain_cap_oracle(),
         "gopher_quality": _gopher.gopher_oracle_sql(_pages.synthetic_pages_duckdb()),
+        "repetition_signals": _repetition.repetition_oracle_sql(
+            _pages.synthetic_pages_duckdb()
+        ),
         "line_dedup": _lines.line_dedup_oracle_sql(_pages.synthetic_pages_duckdb()),
         "decontaminate": _decon.decontaminate_oracle_sql(
             corpus_cte="""

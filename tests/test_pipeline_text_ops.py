@@ -371,3 +371,78 @@ def test_dsir_non_vacuous_on_documents(spark, sf_dir):
     )
     en_rate_all = d.filter("lang = 'en'").count() / n
     assert en_rate_kept > en_rate_all
+
+
+# ---------------------------------------------------------------- repetition
+
+
+def _brute_repetition(lines: list[str]) -> dict:
+    """Driver-side twin of repetition_signals over one page."""
+    import re
+    from collections import Counter
+
+    from webcrawler_spark.functions.repetition import (
+        DUP_NS,
+        MAX_DUP_LINE_CHAR_FRAC,
+        MAX_DUP_NGRAM_CHAR_FRAC,
+        MAX_TOP_NGRAM_CHAR_FRAC,
+        TOP_NS,
+    )
+    from webcrawler_spark.functions.text import TOKEN_SPLIT_RE
+
+    tok = [t for t in re.split(TOKEN_SPLIT_RE, " ".join(lines).lower()) if t]
+    text_chars = sum(map(len, tok)) + max(len(tok) - 1, 0)
+    out = {}
+    for n in (*TOP_NS, *DUP_NS):
+        grams = [" ".join(tok[i : i + n]) for i in range(max(len(tok) - n + 1, 0))]
+        cnt = Counter(grams)
+        if n in TOP_NS:
+            # ties: max count first, then longer gram — the packed-long rule
+            top = max(cnt.items(), key=lambda kv: (kv[1], len(kv[0])), default=None)
+            mass = top[1] * len(top[0]) if top else 0
+            out[f"top_{n}gram_char_frac"] = round(mass / text_chars, 6)
+        else:
+            dup = sum((c - 1) * len(g) for g, c in cnt.items() if c > 1)
+            out[f"dup_{n}gram_char_frac"] = round(dup / text_chars, 6)
+    line_chars = sum(map(len, lines)) + max(len(lines) - 1, 0)
+    dup_mass = sum(
+        (lines.count(l) - 1) * len(l) for l in dict.fromkeys(lines)
+    )
+    out["dup_line_char_frac"] = round(dup_mass / line_chars, 6)
+    keep = out["dup_line_char_frac"] <= MAX_DUP_LINE_CHAR_FRAC
+    for n in TOP_NS:
+        keep = keep and out[f"top_{n}gram_char_frac"] <= MAX_TOP_NGRAM_CHAR_FRAC[n]
+    for n in DUP_NS:
+        keep = keep and out[f"dup_{n}gram_char_frac"] <= MAX_DUP_NGRAM_CHAR_FRAC[n]
+    out["keep_repetition"] = keep
+    return out
+
+
+def test_repetition_signals_match_brute_force(spark):
+    from webcrawler_spark.functions.repetition import repetition_signals
+
+    clean = [
+        "the quick brown fox jumps over the lazy dog and then it runs home",
+        "a different line with many common english words that we all know well",
+        "yet more ordinary prose text to pad the word count past the gate",
+        "and a final sentence with the usual mix of words of normal length",
+    ]
+    loopy = [
+        "one two three four five six seven eight nine ten one two three four "
+        "five six seven eight nine ten one two three four five six seven "
+        "eight nine ten and a little extra tail to vary things"
+    ]
+    dup_lines = clean[:2] * 4
+    pages = spark.createDataFrame(
+        [(0, clean), (1, loopy), (2, dup_lines)],
+        "page_id int, lines array<string>",
+    )
+    got = {r.page_id: r.asDict() for r in repetition_signals(pages).collect()}
+    for pid, lines in ((0, clean), (1, loopy), (2, dup_lines)):
+        exp = _brute_repetition(lines)
+        g = {k: v for k, v in got[pid].items() if k != "page_id"}
+        assert g == exp, (pid, g, exp)
+    assert got[0]["keep_repetition"] is True
+    assert got[1]["keep_repetition"] is False  # dup n-gram gates fire
+    assert got[1]["dup_10gram_char_frac"] > 0
+    assert got[2]["keep_repetition"] is False  # dup-line char gate fires
