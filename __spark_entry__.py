@@ -915,6 +915,33 @@ def _q_domain_cap(spark, sf):
     return domain_cap(d, 8).orderBy("domain", "domain_rank")
 
 
+def _q_caption_dedup(spark, sf):
+    # cross-modal caption dedup over a synthesized pair table whose
+    # captions actually repeat (7 "stock photo" groups, every 5th doc)
+    # and go null (every 13th) — keep-best-resolution, fp-keyed
+    from webcrawler_spark.curation import caption_dedup
+
+    d = load(spark, sf, "documents")
+    cap = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("string"))
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("stock photo of a product "),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        )
+        .otherwise(F.substring("text", 1, 40))
+    )
+    pairs = d.select(
+        F.col("doc_id").alias("image_id"),
+        (F.lit(32) + F.col("doc_id") % 97).cast("int").alias("w"),
+        (F.lit(32) + F.col("doc_id") % 53).cast("int").alias("h"),
+        cap.alias("caption"),
+    )
+    return caption_dedup(pairs).orderBy("image_id")
+
+
 def _q_gopher_quality(spark, sf):
     # Gopher-style quality gating (Rae et al. 2021 §A1.1) over the derived
     # multi-line page corpus; every signal 6-dp-rounded before
@@ -1109,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_curation_meta": _q_pair_curation_meta,
         "aspect_batches": _q_aspect_batches,
         "domain_cap": _q_domain_cap,
+        "caption_dedup": _q_caption_dedup,
         "gopher_quality": _q_gopher_quality,
         "repetition_signals": _q_repetition_signals,
         "line_dedup": _q_line_dedup,
@@ -1299,6 +1327,50 @@ def _pair_curation_meta_oracle() -> str:
                g.gate_ok AND coalesce(l.node = l.cluster_id, TRUE) AS keep
         FROM gated g LEFT JOIN lab l ON l.node = g.image_id
         ORDER BY g.image_id
+    """
+
+
+def _caption_dedup_oracle() -> str:
+    """One-window mirror of _q_caption_dedup (two-phase election is
+    output-invariant): same synthesized captions, same caption
+    fingerprint (lower + whitespace-collapse + portable 60-bit hash)."""
+    fp = PORTABLE_HASH64_DUCKDB.format(
+        col="lower(regexp_replace(caption, '\\s{2,}', ' ', 'g'))"
+    )
+    return f"""
+        WITH pairs AS (
+            SELECT doc_id AS image_id,
+                   (32 + (doc_id % 97))::INT AS w,
+                   (32 + (doc_id % 53))::INT AS h,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        WHEN doc_id % 5 = 0
+                            THEN 'stock photo of a product ' || (doc_id % 7)::VARCHAR
+                        ELSE substring(text, 1, 40) END AS caption
+            FROM documents
+        ),
+        base AS (
+            SELECT image_id,
+                   CASE WHEN length(caption) > 0 THEN {fp} END AS caption_fp,
+                   (w::BIGINT * h::BIGINT) AS pixels
+            FROM pairs
+        ),
+        counts AS (
+            SELECT caption_fp, count(*)::BIGINT AS n_dup
+            FROM base WHERE caption_fp IS NOT NULL GROUP BY 1
+        ),
+        ranked AS (
+            SELECT image_id, caption_fp, pixels,
+                   row_number() OVER (
+                       PARTITION BY caption_fp ORDER BY pixels DESC, image_id
+                   ) AS rn
+            FROM base WHERE caption_fp IS NOT NULL
+        )
+        SELECT image_id, caption_fp, pixels, n_dup
+        FROM ranked JOIN counts USING (caption_fp) WHERE rn = 1
+        UNION ALL
+        SELECT image_id, caption_fp, pixels, 1::BIGINT AS n_dup
+        FROM base WHERE caption_fp IS NULL
+        ORDER BY image_id
     """
 
 
@@ -1747,6 +1819,7 @@ def oracle_sql() -> dict[str, str]:
         "pair_curation_meta": _pair_curation_meta_oracle(),
         "aspect_batches": _aspect_batches_oracle(),
         "domain_cap": _domain_cap_oracle(),
+        "caption_dedup": _caption_dedup_oracle(),
         "gopher_quality": _gopher.gopher_oracle_sql(_pages.synthetic_pages_duckdb()),
         "repetition_signals": _repetition.repetition_oracle_sql(
             _pages.synthetic_pages_duckdb()

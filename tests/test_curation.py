@@ -470,3 +470,33 @@ def test_domain_cap_equals_single_window_and_binds(spark):
         assert sorted(domain_cap(df, n, shards=s)
                       .select("doc_id", "domain", "quality", "domain_rank")
                       .collect()) == base
+
+
+def test_caption_dedup_keeps_best_resolution(spark):
+    from webcrawler_spark.curation import caption_dedup
+
+    rows = [
+        # one caption group of 4: best pixels = (40, 30) -> id 12
+        (10, 20, 20, "a cat"),
+        (11, 30, 30, "a  cat"),   # ws-collapse: same fingerprint group
+        (12, 40, 30, "A cat"),    # case-fold: same group, most pixels
+        (13, 30, 40, "a cat"),    # pixel tie with 11: smaller id wins? no — 12 wins outright
+        # singleton caption
+        (20, 10, 10, "a dog"),
+        # null / empty captions all pass through
+        (30, 50, 50, None),
+        (31, 60, 60, ""),
+    ]
+    df = spark.createDataFrame(rows, "image_id long, w int, h int, caption string")
+    got = {r.image_id: r for r in caption_dedup(df).collect()}
+    assert set(got) == {12, 20, 30, 31}
+    assert got[12].n_dup == 4 and got[12].pixels == 1200
+    assert got[20].n_dup == 1
+    assert got[30].caption_fp is None and got[31].caption_fp is None
+
+    # pixel tie -> smaller image_id
+    tie = spark.createDataFrame(
+        [(5, 2, 6, "x y"), (3, 4, 3, "x y"), (9, 3, 4, "x y")],
+        "image_id long, w int, h int, caption string",
+    )
+    assert [r.image_id for r in caption_dedup(tie).collect()] == [3]

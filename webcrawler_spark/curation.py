@@ -532,6 +532,52 @@ def domain_cap(
 
 
 # ---------------------------------------------------------------------------
+# cross-modal caption dedup (keep the best image per repeated caption)
+# ---------------------------------------------------------------------------
+
+def caption_dedup(pairs: DataFrame, shards: int = 8) -> DataFrame:
+    """Web image corpora repeat captions massively (LAION-style "stock
+    photo of ..." boilerplate): pairs sharing one normalized caption keep
+    only the highest-resolution image (ties → smaller image_id). Null or
+    empty captions are never grouped — those rows pass through.
+
+    Returns survivors: (image_id, caption_fp, pixels, n_dup) where n_dup
+    is the group size the survivor won.
+
+    Scale shape: the group key is the 60-bit caption fingerprint (the J5
+    content-dedup key), so no exchange carries caption text; the keep-one
+    election is `domain_cap(n=1)` — the two-phase top-n — because caption
+    frequency is exactly as Zipf-skewed as domains ("image", "photo" at
+    10^8 occurrences must not pick one reducer). counts is a map-side-
+    combining aggregate and its join to winners is 1:1 per fp."""
+    base = pairs.select(
+        "image_id",
+        F.when(
+            F.length(F.col("caption")) > 0, fingerprint64(F.col("caption"))
+        ).alias("caption_fp"),
+        (F.col("w").cast("long") * F.col("h").cast("long")).alias("pixels"),
+    )
+    keyed = base.filter(F.col("caption_fp").isNotNull())
+    passthrough = base.filter(F.col("caption_fp").isNull()).select(
+        "image_id", "caption_fp", "pixels", F.lit(1).cast("long").alias("n_dup")
+    )
+    counts = keyed.groupBy("caption_fp").agg(F.count("*").alias("n_dup"))
+    winners = domain_cap(
+        keyed,
+        1,
+        domain_col="caption_fp",
+        quality_col="pixels",
+        id_col="image_id",
+        shards=shards,
+    ).drop("domain_rank")
+    return (
+        winners.join(counts, "caption_fp")
+        .select("image_id", "caption_fp", "pixels", "n_dup")
+        .unionByName(passthrough)
+    )
+
+
+# ---------------------------------------------------------------------------
 # shard packing (token-budget chunking for the training writer)
 # ---------------------------------------------------------------------------
 
