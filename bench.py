@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "span_dedup",
     "semantic_dedup",
     "aspect_batches",
+    "domain_cap",
+    "caption_dedup",
+    "repetition_signals",
 ]
 
 CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "600"))

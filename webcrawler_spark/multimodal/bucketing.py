@@ -114,13 +114,21 @@ def aspect_bucket_batches(
         .withColumn("shard", shard_of(F.col("image_id"), shards))
     )
     w_rn = Window.partitionBy("bucket_id", "shard").orderBy("image_id")
-    w_batch = Window.partitionBy("bucket_id", "shard", "batch_id")
+    # group total over the SAME partitioning as the row_number — one
+    # exchange serves both; a window keyed by (bucket, shard, batch_id)
+    # would re-shuffle. A batch is full iff it isn't the ragged tail:
+    # (batch_id+1)*B <= group total.
+    w_grp = Window.partitionBy("bucket_id", "shard")
     return (
         assigned.withColumn("_rn", F.row_number().over(w_rn) - 1)
+        .withColumn("_total", F.count(F.lit(1)).over(w_grp))
         .withColumn("batch_id", F.floor(F.col("_rn") / F.lit(batch_size)).cast("long"))
         .withColumn("slot", F.pmod(F.col("_rn"), F.lit(batch_size)).cast("int"))
-        .withColumn("is_full", F.count(F.lit(1)).over(w_batch) == F.lit(batch_size))
-        .drop("_rn")
+        .withColumn(
+            "is_full",
+            (F.col("batch_id") + 1) * F.lit(batch_size) <= F.col("_total"),
+        )
+        .drop("_rn", "_total")
     )
 
 
