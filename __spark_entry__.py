@@ -915,6 +915,16 @@ def _q_domain_cap(spark, sf):
     return domain_cap(d, 8).orderBy("domain", "domain_rank")
 
 
+def _q_resize_plan(spark, sf):
+    # cover-resize + center-crop parameters onto each image's aspect
+    # bucket — the narrow, UDF-free plan the Arrow decode stage consumes
+    from webcrawler_spark.multimodal.bucketing import resize_plan
+
+    return resize_plan(
+        _synth_pair_meta(spark, sf).select("image_id", "w", "h")
+    ).orderBy("image_id")
+
+
 def _q_caption_dedup(spark, sf):
     # cross-modal caption dedup over a synthesized pair table whose
     # captions actually repeat (7 "stock photo" groups, every 5th doc)
@@ -1137,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_batches": _q_aspect_batches,
         "domain_cap": _q_domain_cap,
         "caption_dedup": _q_caption_dedup,
+        "resize_plan": _q_resize_plan,
         "gopher_quality": _q_gopher_quality,
         "repetition_signals": _q_repetition_signals,
         "line_dedup": _q_line_dedup,
@@ -1327,6 +1338,21 @@ def _pair_curation_meta_oracle() -> str:
                g.gate_ok AND coalesce(l.node = l.cluster_id, TRUE) AS keep
         FROM gated g LEFT JOIN lab l ON l.node = g.image_id
         ORDER BY g.image_id
+    """
+
+
+def _resize_plan_oracle() -> str:
+    from webcrawler_spark.multimodal.bucketing import resize_plan_duckdb
+
+    return f"""
+        WITH synth AS (
+            SELECT doc_id AS image_id,
+                   (32 + (doc_id % 97))::INT AS w,
+                   (32 + (doc_id % 53))::INT AS h
+            FROM documents
+        ),
+        {resize_plan_duckdb("synth")}
+        ORDER BY image_id
     """
 
 
@@ -1820,6 +1846,7 @@ def oracle_sql() -> dict[str, str]:
         "aspect_batches": _aspect_batches_oracle(),
         "domain_cap": _domain_cap_oracle(),
         "caption_dedup": _caption_dedup_oracle(),
+        "resize_plan": _resize_plan_oracle(),
         "gopher_quality": _gopher.gopher_oracle_sql(_pages.synthetic_pages_duckdb()),
         "repetition_signals": _repetition.repetition_oracle_sql(
             _pages.synthetic_pages_duckdb()

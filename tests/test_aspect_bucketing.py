@@ -105,3 +105,20 @@ def test_plan_is_pure_function_of_input_set(spark, pair_meta, plan):
         .reset_index(drop=True)
     )
     assert again.equals(plan)
+
+
+def test_resize_plan_covers_and_centers(spark, pair_meta):
+    from webcrawler_spark.multimodal.bucketing import resize_plan
+
+    for r in resize_plan(pair_meta).collect():
+        # cover: resized dims fully contain the bucket (no letterboxing)
+        assert r.resized_w >= r.bucket_w and r.resized_h >= r.bucket_h
+        # one axis matches the bucket up to rounding (the scaling axis)
+        assert min(r.resized_w - r.bucket_w, r.resized_h - r.bucket_h) <= 1
+        # aspect preserved up to rounding: resized_w/resized_h ~ w/h
+        assert abs(r.resized_w * r.h - r.resized_h * r.w) <= max(r.w, r.h)
+        # crop is centered and the crop window fits
+        assert 0 <= r.crop_x <= r.resized_w - r.bucket_w
+        assert 0 <= r.crop_y <= r.resized_h - r.bucket_h
+        assert abs((r.resized_w - r.bucket_w) - 2 * r.crop_x) <= 1
+        assert abs((r.resized_h - r.bucket_h) - 2 * r.crop_y) <= 1

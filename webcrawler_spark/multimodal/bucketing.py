@@ -132,6 +132,78 @@ def aspect_bucket_batches(
     )
 
 
+def resize_plan(pairs: DataFrame) -> DataFrame:
+    """Per-image preprocessing plan onto its aspect bucket: cover-resize
+    then center-crop (the standard trainer transform). All arithmetic is
+    narrow — zero shuffle, zero UDF; the actual pixel work happens later
+    in the Arrow decode pipeline, which consumes these parameters.
+
+    * scale     = max(bucket_w/w, bucket_h/h)  (cover: no letterboxing)
+    * resized_w/h = round(dim * scale)  — >= the bucket dims by
+      construction up to the rounding half-step, clamped with greatest()
+    * crop_x/y  = floor((resized - bucket)/2)  (center crop)
+
+    Doubles stay portable: one division and one multiplication of exact
+    integers, identical IEEE ops in DuckDB (`resize_plan_duckdb`)."""
+    b = aspect_bucket_struct(F.col("w"), F.col("h"))
+    scale = F.greatest(
+        b["bucket_w"].cast("double") / F.col("w").cast("double"),
+        b["bucket_h"].cast("double") / F.col("h").cast("double"),
+    )
+    resized_w = F.greatest(
+        F.round(F.col("w").cast("double") * scale, 0).cast("int"), b["bucket_w"]
+    )
+    resized_h = F.greatest(
+        F.round(F.col("h").cast("double") * scale, 0).cast("int"), b["bucket_h"]
+    )
+    return pairs.select(
+        "image_id",
+        "w",
+        "h",
+        b["bucket_id"].alias("bucket_id"),
+        b["bucket_w"].alias("bucket_w"),
+        b["bucket_h"].alias("bucket_h"),
+        resized_w.alias("resized_w"),
+        resized_h.alias("resized_h"),
+        F.floor((resized_w - b["bucket_w"]) / 2).cast("int").alias("crop_x"),
+        F.floor((resized_h - b["bucket_h"]) / 2).cast("int").alias("crop_y"),
+    )
+
+
+def resize_plan_duckdb(pairs_cte: str) -> str:
+    """DuckDB mirror of resize_plan over (image_id, w, h)."""
+    buckets = ", ".join(f"({bid}, {bw}, {bh})" for bid, bw, bh in ASPECT_BUCKETS)
+    return f"""
+        menu(bucket_id, bucket_w, bucket_h) AS (VALUES {buckets}),
+        scored AS (
+            SELECT p.image_id, p.w, p.h, m.bucket_id, m.bucket_w, m.bucket_h,
+                   row_number() OVER (
+                       PARTITION BY p.image_id
+                       ORDER BY abs(p.w::BIGINT * m.bucket_h
+                                    - p.h::BIGINT * m.bucket_w)::DOUBLE
+                                / m.bucket_h,
+                                m.bucket_id
+                   ) AS pick
+            FROM {pairs_cte} p CROSS JOIN menu m
+        ),
+        planned AS (
+            SELECT image_id, w, h, bucket_id, bucket_w, bucket_h,
+                   greatest(round(w::DOUBLE * greatest(bucket_w::DOUBLE / w,
+                                                       bucket_h::DOUBLE / h),
+                                  0)::INT, bucket_w) AS resized_w,
+                   greatest(round(h::DOUBLE * greatest(bucket_w::DOUBLE / w,
+                                                       bucket_h::DOUBLE / h),
+                                  0)::INT, bucket_h) AS resized_h
+            FROM scored WHERE pick = 1
+        )
+        SELECT image_id, w, h, bucket_id, bucket_w, bucket_h,
+               resized_w, resized_h,
+               ((resized_w - bucket_w) // 2)::INT AS crop_x,
+               ((resized_h - bucket_h) // 2)::INT AS crop_y
+        FROM planned
+    """
+
+
 def aspect_batches_duckdb(
     pairs_cte: str, batch_size: int = 8, shards: int = 4
 ) -> str:
