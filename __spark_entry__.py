@@ -963,6 +963,14 @@ def _q_gopher_quality(spark, sf):
     return gopher_signals(synthetic_pages(d)).orderBy("page_id")
 
 
+def _q_collocations(spark, sf):
+    # phrase-mining primitive: top-50 bigrams by association lift over
+    # documents; count-ratio score (exp PMI) keeps it libm-free portable
+    from webcrawler_spark.functions.collocations import collocations
+
+    return collocations(load(spark, sf, "documents"))
+
+
 def _q_repetition_signals(spark, sf):
     # Gopher §A1.2 repetition family over the same derived page corpus:
     # top-{2,3,4}-gram and dup-{5..10}-gram char fractions + dup-line
@@ -1150,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_plan": _q_resize_plan,
         "gopher_quality": _q_gopher_quality,
         "repetition_signals": _q_repetition_signals,
+        "collocations": _q_collocations,
         "line_dedup": _q_line_dedup,
         "decontaminate": _q_decontaminate,
         "pii_redact": _q_pii_redact,
@@ -1174,6 +1183,7 @@ from webcrawler_spark.dedup import decontaminate as _decon  # noqa: E402
 from webcrawler_spark.dedup import lines as _lines  # noqa: E402
 from webcrawler_spark.functions import gopher as _gopher  # noqa: E402
 from webcrawler_spark.functions import repetition as _repetition  # noqa: E402
+from webcrawler_spark.functions import collocations as _collocations  # noqa: E402
 from webcrawler_spark.functions import dsir as _dsir  # noqa: E402
 from webcrawler_spark.functions import lm as _lm  # noqa: E402
 from webcrawler_spark.functions import pii as _pii  # noqa: E402
@@ -1851,6 +1861,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _repetition.repetition_oracle_sql(
             _pages.synthetic_pages_duckdb()
         ),
+        "collocations": _collocations.collocations_oracle_sql(),
         "line_dedup": _lines.line_dedup_oracle_sql(_pages.synthetic_pages_duckdb()),
         "decontaminate": _decon.decontaminate_oracle_sql(
             corpus_cte="""

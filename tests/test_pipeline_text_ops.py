@@ -446,3 +446,43 @@ def test_repetition_signals_match_brute_force(spark):
     assert got[1]["keep_repetition"] is False  # dup n-gram gates fire
     assert got[1]["dup_10gram_char_frac"] > 0
     assert got[2]["keep_repetition"] is False  # dup-line char gate fires
+
+
+# --------------------------------------------------------------- collocations
+
+
+def test_collocations_match_brute_force(spark):
+    import re
+    from collections import Counter
+
+    from webcrawler_spark.functions.collocations import collocations
+    from webcrawler_spark.functions.text import TOKEN_SPLIT_RE
+
+    docs = [
+        "new york is a big city and new york never sleeps at night",
+        "machine learning and machine learning again machine learning wins",
+        "the cat sat on the mat while the dog sat on the rug",
+        "new york new york the city of machine learning startups",
+    ] * 3
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    got = [(r.w1, r.w2, r.c_pair, r.lift) for r in collocations(df, min_count=3, k=40).collect()]
+
+    toks = [[t for t in re.split(TOKEN_SPLIT_RE, d.lower()) if t] for d in docs]
+    uni = Counter(w for ts in toks for w in ts)
+    n_uni = sum(uni.values())
+    bi = Counter((ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1))
+    scored = [
+        (w1, w2, c, round(c * n_uni / (uni[w1] * uni[w2]), 6))
+        for (w1, w2), c in bi.items()
+        if c >= 3
+    ]
+    want = sorted(scored, key=lambda x: (-x[3], x[0], x[1]))[:40]
+    assert got == want
+    # the known multi-word expressions survive min_count and are scored
+    # (lift favors rarer pairs, so they need not top a toy corpus)
+    pairs = {(a, b) for a, b, _, _ in got}
+    assert {("new", "york"), ("machine", "learning")} <= pairs
+    # and they outrank a frequent-but-loosely-bound pair ("the cat":
+    # 'the' appears everywhere, diluting its lift)
+    ranks = {(a, b): i for i, (a, b, _, _) in enumerate(got)}
+    assert ranks[("machine", "learning")] < ranks[("the", "cat")]
