@@ -122,3 +122,26 @@ def test_resize_plan_covers_and_centers(spark, pair_meta):
         assert 0 <= r.crop_y <= r.resized_h - r.bucket_h
         assert abs((r.resized_w - r.bucket_w) - 2 * r.crop_x) <= 1
         assert abs((r.resized_h - r.bucket_h) - 2 * r.crop_y) <= 1
+
+
+def test_assignment_property_random_dims(spark):
+    # exact-rational argmin vs the engine's IEEE argmin over adversarial
+    # dims (tiny, huge, extreme ratios) — one Spark job for the batch
+    from hypothesis import given, settings, strategies as st
+
+    cases = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(1, 20000), st.integers(1, 20000))
+    def collect(w, h):
+        cases.append((len(cases), w, h))
+
+    collect()
+    from webcrawler_spark.multimodal.bucketing import aspect_bucket_struct
+
+    df = spark.createDataFrame(cases, "image_id long, w int, h int").select(
+        "image_id", "w", "h", aspect_bucket_struct(F.col("w"), F.col("h")).alias("b")
+    )
+    for r in df.collect():
+        bid, bw, bh = _best_bucket(r.w, r.h)
+        assert (r.b.bucket_id, r.b.bucket_w, r.b.bucket_h) == (bid, bw, bh), (r.w, r.h)
