@@ -884,6 +884,37 @@ def _q_pair_curation_meta(spark, sf):
     return pair_curation_flags(_synth_pair_meta(spark, sf)).orderBy("image_id")
 
 
+def _q_image_quality(spark, sf):
+    # decoded-pixel screening gates (blur via Laplacian variance, flat/
+    # exposure/entropy) over the deterministic fixture corpus — rows-only
+    # (no SQL oracle can decode pixels); semantics pinned by
+    # tests/test_image_quality.py closed-form + numpy-twin cases
+    from webcrawler_spark.multimodal.quality import image_quality_stats, quality_gates
+    from webcrawler_spark.sources.fixtures import make_images
+
+    imgs = spark.createDataFrame(make_images(64)[["image_id", "bytes"]])
+    out = quality_gates(image_quality_stats(imgs)).select(
+        "image_id",
+        F.round("luma_mean", 4).alias("luma_mean"),
+        F.round("luma_std", 4).alias("luma_std"),
+        F.round("lap_var", 4).alias("lap_var"),
+        F.round("entropy", 4).alias("entropy"),
+        "is_flat", "is_blurry", "is_extreme", "keep",
+    ).orderBy("image_id")
+    return out
+
+
+def _q_pair_alignment(spark, sf):
+    # image-caption alignment gate (the CLIP-score filter of LAION-style
+    # curation) with deterministic hash-projection encoders — the swap
+    # point for a real model is multimodal/alignment.py's *_embed pair;
+    # the gate itself is pure narrow Catalyst (no shuffle, no UDF), so at
+    # 10^10 pairs it fuses into the scan's codegen span
+    from webcrawler_spark.multimodal.alignment import pair_alignment
+
+    return pair_alignment(_synth_pair_meta(spark, sf)).orderBy("image_id")
+
+
 def _q_aspect_batches(spark, sf):
     # aspect-ratio bucketed batch packing over the input_hint pair table:
     # narrow array_min argmin onto the SDXL bucket menu, then batches
@@ -1152,6 +1183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_curation": _q_incremental_curation,
         "pair_curation": _q_pair_curation,
         "pair_curation_meta": _q_pair_curation_meta,
+        "pair_alignment": _q_pair_alignment,
+        "image_quality": _q_image_quality,
         "aspect_batches": _q_aspect_batches,
         "domain_cap": _q_domain_cap,
         "caption_dedup": _q_caption_dedup,
@@ -1348,6 +1381,38 @@ def _pair_curation_meta_oracle() -> str:
                g.gate_ok AND coalesce(l.node = l.cluster_id, TRUE) AS keep
         FROM gated g LEFT JOIN lab l ON l.node = g.image_id
         ORDER BY g.image_id
+    """
+
+
+def _pair_alignment_oracle() -> str:
+    """Pure-SQL mirror of _q_pair_alignment: the same synthesized pair
+    metadata, then multimodal/alignment.py's score expression (hashed
+    signed bag-of-words × phash sign pattern, exact-integer dot/norms,
+    one round(…,6) on the final cosine) rebuilt by
+    alignment_score_duckdb."""
+    from webcrawler_spark.multimodal.alignment import alignment_score_duckdb
+
+    base_key = (
+        "(CASE WHEN doc_id % 3 = 0 THEN 'g' || (doc_id % 25)::VARCHAR "
+        "ELSE 'u' || doc_id::VARCHAR END)"
+    )
+    ph_base = PORTABLE_HASH64_DUCKDB.format(col=base_key)
+    score = alignment_score_duckdb("caption", "phash")
+    return f"""
+        WITH synth AS (
+            SELECT doc_id AS image_id,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        WHEN doc_id % 17 = 0 THEN 'x'
+                        ELSE substring(text, 1, 40) END AS caption,
+                   xor({ph_base},
+                       CASE WHEN doc_id % 3 = 0 AND doc_id % 5 = 0
+                            THEN (1::BIGINT << (doc_id % 62)::INT)
+                            ELSE 0::BIGINT END) AS phash
+            FROM documents
+        ),
+        scored AS (SELECT image_id, {score} AS align_score FROM synth)
+        SELECT image_id, align_score, align_score > 0.0 AS aligned
+        FROM scored ORDER BY image_id
     """
 
 
@@ -1853,6 +1918,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_curation": _incremental_curation_oracle(),
         "incremental_ann": _incremental_ann_oracle(),
         "pair_curation_meta": _pair_curation_meta_oracle(),
+        "pair_alignment": _pair_alignment_oracle(),
         "aspect_batches": _aspect_batches_oracle(),
         "domain_cap": _domain_cap_oracle(),
         "caption_dedup": _caption_dedup_oracle(),

@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "domain_cap",
     "caption_dedup",
     "repetition_signals",
+    "collocations",
+    "pair_alignment",
+    "image_quality",
 ]
 
 CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "600"))
