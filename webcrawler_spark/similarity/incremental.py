@@ -83,7 +83,11 @@ class EmbeddingIndex:
         # at write time for no benefit)
         (batch.repartition(F.col("sig"))
          .write.partitionBy("sig").mode("append").parquet(self._vec_dir))
-        return batch.count()
+        # row count from the INPUT frame: batch.count() would re-run the
+        # whole signature UDF pipeline a second time just to count rows the
+        # select above cannot have added or dropped (parquet inputs answer
+        # it from footer metadata)
+        return vectors.count()
 
     # -- maintenance --------------------------------------------------------
     def compact(self) -> int:
