@@ -915,6 +915,18 @@ def _q_pair_alignment(spark, sf):
     return pair_alignment(_synth_pair_meta(spark, sf)).orderBy("image_id")
 
 
+def _q_pair_funnel(spark, sf):
+    # the COMPOSED pair pipeline — alignment gate → caption/resolution
+    # gates + banded-phash keep-one → caption dedup → aspect bucketing +
+    # batch packing — one row per input pair with every stage decision
+    # and the batch plan; the oracle mirrors the WHOLE composition, so
+    # stage interactions (survivor sets feeding the next stage) are
+    # verified end to end, not just each stage alone
+    from webcrawler_spark.multimodal.funnel import pair_funnel
+
+    return pair_funnel(_synth_pair_meta(spark, sf)).orderBy("image_id")
+
+
 def _q_aspect_batches(spark, sf):
     # aspect-ratio bucketed batch packing over the input_hint pair table:
     # narrow array_min argmin onto the SDXL bucket menu, then batches
@@ -1184,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_curation": _q_pair_curation,
         "pair_curation_meta": _q_pair_curation_meta,
         "pair_alignment": _q_pair_alignment,
+        "pair_funnel": _q_pair_funnel,
         "image_quality": _q_image_quality,
         "aspect_batches": _q_aspect_batches,
         "domain_cap": _q_domain_cap,
@@ -1413,6 +1426,118 @@ def _pair_alignment_oracle() -> str:
         scored AS (SELECT image_id, {score} AS align_score FROM synth)
         SELECT image_id, align_score, align_score > 0.0 AS aligned
         FROM scored ORDER BY image_id
+    """
+
+
+def _pair_funnel_oracle() -> str:
+    """End-to-end SQL mirror of _q_pair_funnel: the synthesized pair
+    metadata, the alignment score (alignment_score_duckdb), the gates +
+    recursive-CTE phash election (as in _pair_curation_meta_oracle), the
+    caption-fingerprint keep-best-resolution window among stage-1+2
+    survivors, and the aspect/packing plan (aspect_batches_duckdb as a
+    nested WITH) over the final survivor set."""
+    from webcrawler_spark.multimodal.alignment import alignment_score_duckdb
+    from webcrawler_spark.multimodal.bucketing import aspect_batches_duckdb
+
+    base_key = (
+        "(CASE WHEN doc_id % 3 = 0 THEN 'g' || (doc_id % 25)::VARCHAR "
+        "ELSE 'u' || doc_id::VARCHAR END)"
+    )
+    ph_base = PORTABLE_HASH64_DUCKDB.format(col=base_key)
+    toks_cap = _DUCK_TOKS.format(col="caption")
+    score = alignment_score_duckdb("caption", "phash")
+    cap_fp = PORTABLE_HASH64_DUCKDB.format(
+        col="lower(regexp_replace(caption, '\\s{2,}', ' ', 'g'))"
+    )
+    return f"""
+        WITH RECURSIVE synth AS (
+            SELECT doc_id AS image_id,
+                   (32 + (doc_id % 97))::INT AS w,
+                   (32 + (doc_id % 53))::INT AS h,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        WHEN doc_id % 17 = 0 THEN 'x'
+                        ELSE substring(text, 1, 40) END AS caption,
+                   xor({ph_base},
+                       CASE WHEN doc_id % 3 = 0 AND doc_id % 5 = 0
+                            THEN (1::BIGINT << (doc_id % 62)::INT)
+                            ELSE 0::BIGINT END) AS phash
+            FROM documents
+        ),
+        staged AS (
+            SELECT image_id, w, h, caption, phash,
+                   {score} AS align_score,
+                   coalesce(caption IS NOT NULL
+                            AND len({toks_cap}) >= 2, FALSE) AS caption_ok,
+                   coalesce(caption IS NOT NULL AND len({toks_cap}) >= 2,
+                            FALSE) AND w * h >= 4096 AS gate_ok
+            FROM synth
+        ),
+        banded AS (
+            SELECT image_id, phash, b.band,
+                   ((phash >> (b.band * 16)) & 65535) AS key
+            FROM staged, (SELECT unnest([0, 1, 2, 3]) AS band) b
+            WHERE gate_ok
+        ),
+        cand AS (
+            SELECT DISTINCT l.image_id AS a, r.image_id AS b
+            FROM banded l
+            JOIN banded r ON l.band = r.band AND l.key = r.key
+                         AND l.image_id < r.image_id
+            WHERE bit_count(xor(l.phash, r.phash)) <= 3
+        ),
+        nodes AS (SELECT a AS n FROM cand UNION SELECT b FROM cand),
+        edges AS (SELECT a AS u, b AS v FROM cand
+                  UNION SELECT b, a FROM cand),
+        reach(node, label) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node
+        ),
+        lab AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+        flags AS (
+            SELECT s.*,
+                   s.align_score > 0.0 AS aligned,
+                   s.gate_ok AND coalesce(l.node = l.cluster_id, TRUE)
+                       AS neardup_keep
+            FROM staged s LEFT JOIN lab l ON l.node = s.image_id
+        ),
+        s1 AS (SELECT * FROM flags WHERE aligned AND neardup_keep),
+        keyed AS (
+            SELECT image_id, w, h,
+                   CASE WHEN length(caption) > 0 THEN {cap_fp} END AS caption_fp,
+                   (w::BIGINT * h::BIGINT) AS pixels
+            FROM s1
+        ),
+        counts AS (
+            SELECT caption_fp, count(*)::BIGINT AS n_dup
+            FROM keyed WHERE caption_fp IS NOT NULL GROUP BY 1
+        ),
+        ranked AS (
+            SELECT image_id, w, h, caption_fp, pixels,
+                   row_number() OVER (
+                       PARTITION BY caption_fp ORDER BY pixels DESC, image_id
+                   ) AS rn
+            FROM keyed WHERE caption_fp IS NOT NULL
+        ),
+        surv AS (
+            SELECT r.image_id, r.w, r.h, c.n_dup
+            FROM ranked r JOIN counts c USING (caption_fp) WHERE rn = 1
+            UNION ALL
+            SELECT image_id, w, h, 1::BIGINT AS n_dup
+            FROM keyed WHERE caption_fp IS NULL
+        ),
+        plan AS (
+            WITH {aspect_batches_duckdb("surv", batch_size=8, shards=4)}
+        )
+        SELECT f.image_id, f.align_score, f.aligned, f.caption_ok,
+               f.gate_ok, f.neardup_keep, s.n_dup,
+               (p.batch_id IS NOT NULL) AS selected,
+               p.bucket_id, p.bucket_w, p.bucket_h, p.shard, p.batch_id,
+               p.slot, coalesce(p.is_full, FALSE) AS is_full
+        FROM flags f
+        LEFT JOIN surv s ON s.image_id = f.image_id
+        LEFT JOIN plan p ON p.image_id = f.image_id
+        ORDER BY f.image_id
     """
 
 
@@ -1919,6 +2044,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_ann": _incremental_ann_oracle(),
         "pair_curation_meta": _pair_curation_meta_oracle(),
         "pair_alignment": _pair_alignment_oracle(),
+        "pair_funnel": _pair_funnel_oracle(),
         "aspect_batches": _aspect_batches_oracle(),
         "domain_cap": _domain_cap_oracle(),
         "caption_dedup": _caption_dedup_oracle(),

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "repetition_signals",
     "collocations",
     "pair_alignment",
+    "pair_funnel",
     "image_quality",
 ]
 
