@@ -155,3 +155,38 @@ def test_assembled_pairs_satisfy_input_hint_invariant(engine, spark):
         assert r["shape_ok"] and r["phash_ok"] and r["quality_ok"], r
         assert r["caption_ok"], r
         assert r["psnr_db"] >= 40.0 or r["psnr_db"] == float("inf")
+
+def test_composed_funnel_over_real_crawl_pairs(engine, spark):
+    """The composed pair funnel (multimodal/funnel.py) over the BYTES-REAL
+    pair table a real crawl assembled — stage flags must be consistent
+    with direct recomputation from the pair rows themselves, selection
+    must be non-vacuous, and the batch plan must be dense per batch."""
+    from webcrawler_spark.multimodal.funnel import pair_funnel
+
+    keys = distinct_caption_keys(engine.image_captions_df())
+    pairs = assemble_pairs(keys, ingest_payloads(keys))
+    rows = {r.image_id: r for r in pairs.collect()}
+    out = pair_funnel(pairs).collect()
+    assert len(out) == len(rows)
+
+    n_sel = sum(r.selected for r in out)
+    assert 0 < n_sel <= len(out)
+    for r in out:
+        src = rows[r.image_id]
+        # gate flags recompute from the raw pair row
+        ntok = len([t for t in __import__("re").split(
+            r"[^a-z0-9]+", (src.caption or "").lower()) if t])
+        assert r.caption_ok == (src.caption is not None and ntok >= 2)
+        assert r.gate_ok == (r.caption_ok and src.w * src.h >= 4096)
+        if r.selected:
+            assert r.aligned and r.neardup_keep and r.batch_id is not None
+        else:
+            assert r.is_full is False
+    # batch plan: dense slots, exact is_full
+    by_batch = {}
+    for r in out:
+        if r.selected:
+            by_batch.setdefault((r.bucket_id, r.shard, r.batch_id), []).append(r)
+    for rows_b in by_batch.values():
+        assert sorted(r.slot for r in rows_b) == list(range(len(rows_b)))
+        assert all(r.is_full == (len(rows_b) == 8) for r in rows_b)
