@@ -884,6 +884,20 @@ def _q_pair_curation_meta(spark, sf):
     return pair_curation_flags(_synth_pair_meta(spark, sf)).orderBy("image_id")
 
 
+def _q_cross_modal_topk(spark, sf):
+    # caption-query → top-5 image retrieval by the stand-in alignment
+    # score: queries are three corpus captions (doc_id 1, 2, 4 — non-null
+    # by the synth rules), candidates the whole pair table; self-matches
+    # excluded, ties to the smaller image_id
+    from webcrawler_spark.multimodal.alignment import cross_modal_topk
+
+    meta = _synth_pair_meta(spark, sf)
+    queries = meta.filter(F.col("image_id").isin(1, 2, 4)).select(
+        F.col("image_id").alias("query_id"), "caption"
+    )
+    return cross_modal_topk(meta, queries, k=5).orderBy("query_id", "rank")
+
+
 def _q_image_quality(spark, sf):
     # decoded-pixel screening gates (blur via Laplacian variance, flat/
     # exposure/entropy) over the deterministic fixture corpus — rows-only
@@ -1197,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_curation_meta": _q_pair_curation_meta,
         "pair_alignment": _q_pair_alignment,
         "pair_funnel": _q_pair_funnel,
+        "cross_modal_topk": _q_cross_modal_topk,
         "image_quality": _q_image_quality,
         "aspect_batches": _q_aspect_batches,
         "domain_cap": _q_domain_cap,
@@ -1426,6 +1441,64 @@ def _pair_alignment_oracle() -> str:
         scored AS (SELECT image_id, {score} AS align_score FROM synth)
         SELECT image_id, align_score, align_score > 0.0 AS aligned
         FROM scored ORDER BY image_id
+    """
+
+
+def _cross_modal_topk_oracle() -> str:
+    """Mirror of _q_cross_modal_topk: caption_embed/phash_embed list
+    fragments, integer dot, image norm exactly sqrt(dims), per-query
+    row_number window."""
+    from webcrawler_spark.multimodal.alignment import (
+        DIMS,
+        caption_embed_duckdb,
+        phash_embed_duckdb,
+    )
+
+    base_key = (
+        "(CASE WHEN doc_id % 3 = 0 THEN 'g' || (doc_id % 25)::VARCHAR "
+        "ELSE 'u' || doc_id::VARCHAR END)"
+    )
+    ph_base = PORTABLE_HASH64_DUCKDB.format(col=base_key)
+    qv = caption_embed_duckdb("caption", DIMS)
+    iv = phash_embed_duckdb("phash", DIMS)
+    dot = f"list_sum(list_transform(range(1, {DIMS} + 1), j -> qv[j] * iv[j]))"
+    qn2 = f"list_sum(list_transform(range(1, {DIMS} + 1), j -> qv[j] * qv[j]))"
+    return f"""
+        WITH synth AS (
+            SELECT doc_id AS image_id,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        WHEN doc_id % 17 = 0 THEN 'x'
+                        ELSE substring(text, 1, 40) END AS caption,
+                   xor({ph_base},
+                       CASE WHEN doc_id % 3 = 0 AND doc_id % 5 = 0
+                            THEN (1::BIGINT << (doc_id % 62)::INT)
+                            ELSE 0::BIGINT END) AS phash
+            FROM documents
+        ),
+        q AS (
+            SELECT image_id AS query_id, {qv} AS qv
+            FROM synth WHERE image_id IN (1, 2, 4)
+        ),
+        imgs AS (SELECT image_id, {iv} AS iv FROM synth),
+        scored AS (
+            SELECT q.query_id, i.image_id,
+                   CASE WHEN {qn2} = 0 THEN 0.0
+                        ELSE round({dot}::DOUBLE
+                                   / sqrt(({qn2} * {DIMS})::DOUBLE), 6)
+                   END AS score
+            FROM imgs i CROSS JOIN q
+            WHERE i.image_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, image_id, score,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, image_id
+                   )::INT AS rank
+            FROM scored
+        )
+        SELECT query_id, image_id, score, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
     """
 
 
@@ -2045,6 +2118,7 @@ def oracle_sql() -> dict[str, str]:
         "pair_curation_meta": _pair_curation_meta_oracle(),
         "pair_alignment": _pair_alignment_oracle(),
         "pair_funnel": _pair_funnel_oracle(),
+        "cross_modal_topk": _cross_modal_topk_oracle(),
         "aspect_batches": _aspect_batches_oracle(),
         "domain_cap": _domain_cap_oracle(),
         "caption_dedup": _caption_dedup_oracle(),

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "collocations",
     "pair_alignment",
     "pair_funnel",
+    "cross_modal_topk",
     "image_quality",
 ]
 

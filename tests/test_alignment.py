@@ -97,3 +97,35 @@ def test_threshold_is_strict(spark):
     # the strict > 0.0 gate; NULL caption gives exactly that
     out = pair_alignment(_pairs_df(spark, [(1, None, 123)])).collect()[0]
     assert out.align_score == 0.0 and out.aligned is False
+
+
+def test_cross_modal_topk_structure_and_scores(spark):
+    from webcrawler_spark.multimodal.alignment import cross_modal_topk
+
+    pairs = _pairs_df(spark, [
+        (i, f"caption about item {i} with words", (i * 2654435761) & ((1 << 60) - 1))
+        for i in range(12)
+    ])
+    queries = pairs.filter("image_id < 2").select(
+        F.col("image_id").alias("query_id"), "caption"
+    )
+    out = cross_modal_topk(pairs, queries, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    meta = {r.image_id: r for r in pairs.collect()}
+    for qid, rows in by_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
+        assert all(r.image_id != qid for r in rows)  # self excluded
+        # scores descend and match the python recompute twin (phash-embed
+        # norm is exactly sqrt(dims), so the twin reuses _py_score)
+        ordered = sorted(rows, key=lambda r: r.rank)
+        assert all(
+            a.score >= b.score for a, b in zip(ordered, ordered[1:])
+        )
+        qcap = meta[qid].caption
+        for r in ordered:
+            assert r.score == pytest.approx(
+                _py_score(qcap, meta[r.image_id].phash), abs=1e-9
+            )

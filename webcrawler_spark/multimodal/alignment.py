@@ -34,7 +34,7 @@ embarrassingly parallel and I/O-bound, as it must be at 10^10 rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import PORTABLE_HASH64_DUCKDB, portable_hash64
@@ -128,19 +128,98 @@ def alignment_funnel(pairs: DataFrame, threshold: float = ALIGN_THRESHOLD) -> Da
     )
 
 
+def cross_modal_topk(
+    pairs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dims: int = DIMS,
+) -> DataFrame:
+    """Caption-query → top-k image retrieval by the stand-in alignment
+    score: (query_id, image_id, score, rank). Self-matches (query_id ==
+    image_id, when queries are drawn from the corpus) are excluded, ties
+    break to the smaller image_id.
+
+    Scale shape: the query caption embeds ONCE per query on the
+    broadcast side; each image row embeds its phash ONCE (and its norm
+    is exactly sqrt(dims) — phash vectors are ±1 in every dimension), so
+    the per-candidate work is a single 16-lane zip_with dot against every
+    broadcast query. The only exchange is the per-query top-k, which
+    Spark executes as per-partition heaps under the window's rank filter
+    with |queries|·k-bounded output. This is the brute-force baseline of
+    the retrieval family (`similarity/ann.py`'s cosine twin); the
+    bucketed scale path is `EmbeddingIndex` over real embeddings."""
+    q = queries.select(
+        "query_id", caption_embed(F.col("caption"), dims).alias("qv")
+    ).select("query_id", "qv", _dot(F.col("qv"), F.col("qv")).alias("qn2"))
+    imgs = pairs.select(
+        "image_id", phash_embed(F.col("phash"), dims).alias("iv")
+    )
+    dot = _dot(F.col("qv"), F.col("iv"))
+    scored = (
+        imgs.crossJoin(F.broadcast(q))
+        .filter(F.col("image_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "image_id",
+            F.when(F.col("qn2") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    dot.cast("double")
+                    / F.sqrt((F.col("qn2") * F.lit(dims)).cast("double")),
+                    6,
+                )
+            )
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("image_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB mirror fragments (oracle_sql authors)
 # ---------------------------------------------------------------------------
 
-def alignment_score_duckdb(
-    caption_expr: str, phash_expr: str, dims: int = DIMS
-) -> str:
-    """DuckDB expression computing exactly ``alignment_score``.
+def caption_embed_duckdb(caption_expr: str, dims: int = DIMS) -> str:
+    """DuckDB list expression mirroring ``caption_embed``.
 
     Spark's aggregate-over-empty-array returns the 0 seed; DuckDB's
     list_sum over an empty (or NULL, from a NULL caption) list returns
     NULL — coalesce restores the shared zero-vector convention.
     """
+    toks = (
+        f"list_filter(regexp_split_to_array(lower(coalesce({caption_expr}, '')), "
+        f"'{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    )
+    hashes = (
+        "list_transform(" + toks + ", t -> "
+        + PORTABLE_HASH64_DUCKDB.format(col="t") + ")"
+    )
+    dim_exprs = ", ".join(
+        f"coalesce(list_sum(list_transform(hv, h -> CASE WHEN (h >> {d}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)), 0)::BIGINT"
+        for d in range(dims)
+    )
+    return f"(SELECT [{dim_exprs}] FROM (SELECT {hashes} AS hv))"
+
+
+def phash_embed_duckdb(phash_expr: str, dims: int = DIMS) -> str:
+    """DuckDB list expression mirroring ``phash_embed``."""
+    dim_exprs = ", ".join(
+        f"(CASE WHEN ({phash_expr} >> {d}) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT"
+        for d in range(dims)
+    )
+    return f"[{dim_exprs}]"
+
+
+def alignment_score_duckdb(
+    caption_expr: str, phash_expr: str, dims: int = DIMS
+) -> str:
+    """DuckDB expression computing exactly ``alignment_score``."""
     toks = (
         f"list_filter(regexp_split_to_array(lower(coalesce({caption_expr}, '')), "
         f"'{TOKEN_SPLIT_RE}'), t -> t <> '')"
