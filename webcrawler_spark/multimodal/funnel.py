@@ -52,7 +52,13 @@ def pair_funnel(
     dedup; exactly the selected rows carry non-NULL n_dup and plan
     columns. Gate stages are computed over the FULL input (identical to
     their standalone driver queries); dedup and packing see survivors
-    only."""
+    only.
+
+    Cache lifecycle: two intermediate frames persist() (see inline
+    comments). A one-shot pipeline lets session teardown reclaim them; a
+    long-running service should unpersist after materializing the result
+    (blocks are MEMORY_AND_DISK and LRU-evictable, so correctness never
+    depends on them)."""
     fl = pair_curation_flags(pairs, **gate_kw).withColumnRenamed(
         "keep", "neardup_keep"
     )
