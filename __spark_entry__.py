@@ -918,6 +918,76 @@ def _q_image_quality(spark, sf):
     return out
 
 
+def _wds_synth_pairs(spark, sf):
+    """Non-null-caption synth pairs with a deterministic SQL-computable
+    image byte length (54-byte-header 24-bit raw bitmap: 54 + 3*w*h) —
+    the WDS oracle needs lengths only; the bytes-real writer path is
+    pinned by tests/test_webdataset.py over WCIM-encoded images."""
+    return (
+        _synth_pair_meta(spark, sf)
+        .filter(F.col("caption").isNotNull())
+        .withColumn(
+            "img_len",
+            (F.lit(54).cast("long") + 3 * F.col("w").cast("long") * F.col("h")),
+        )
+    )
+
+
+_WDS_BUDGET = 1 << 18  # 256 KiB payload per shard at fixture scale
+
+
+def _q_wds_plan(spark, sf):
+    # training-export shard plan (WebDataset tar layout) over the pair
+    # table: EXACT ustar size model (two 512 B member headers + payloads
+    # block-padded), contiguous fill in image_id order via the two-level
+    # prefix scan (per-bucket ROWS window + one bucket-count-sized stitch
+    # window — no global single-reducer window at 10^10 pairs)
+    from webcrawler_spark.multimodal.webdataset import plan_wds_shards
+
+    planned = plan_wds_shards(
+        _wds_synth_pairs(spark, sf),
+        budget_bytes=_WDS_BUDGET,
+        bucket=F.expr("image_id div 64"),
+        img_len=F.col("img_len"),
+        cap_len=F.octet_length("caption"),
+    )
+    return planned.select("image_id", "entry_bytes", "shard_id").orderBy(
+        "image_id"
+    )
+
+
+def _q_wds_manifest(spark, sf):
+    # the export ACTUALLY RUNS: one deterministic USTAR tar per shard
+    # (mtime=0, key-ordered members, atomic rename), manifest sizes
+    # MEASURED from the written files — and the DuckDB oracle predicts
+    # every on-disk tar_bytes to the byte from the same size model.
+    # Collect+rebuild before the tempdir is removed (graph_export rule).
+    import shutil
+    import tempfile
+
+    from webcrawler_spark.multimodal.webdataset import (
+        plan_wds_shards,
+        write_webdataset,
+    )
+
+    pairs = _wds_synth_pairs(spark, sf).withColumn(
+        "bytes", F.expr("cast(repeat('a', cast(img_len as int)) as binary)")
+    )
+    planned = plan_wds_shards(
+        pairs, budget_bytes=_WDS_BUDGET, bucket=F.expr("image_id div 64")
+    )
+    d = tempfile.mkdtemp(prefix="wds_driver_")
+    try:
+        man = (
+            write_webdataset(planned, d, fmt_col=None)
+            .select("shard_id", "n_samples", "payload_bytes", "tar_bytes")
+            .orderBy("shard_id")
+        )
+        return spark.createDataFrame(man.collect(), schema=man.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_pair_alignment(spark, sf):
     # image-caption alignment gate (the CLIP-score filter of LAION-style
     # curation) with deterministic hash-projection encoders — the swap
@@ -1210,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_curation": _q_pair_curation,
         "pair_curation_meta": _q_pair_curation_meta,
         "pair_alignment": _q_pair_alignment,
+        "wds_plan": _q_wds_plan,
+        "wds_manifest": _q_wds_manifest,
         "pair_funnel": _q_pair_funnel,
         "cross_modal_topk": _q_cross_modal_topk,
         "image_quality": _q_image_quality,
@@ -1409,6 +1481,68 @@ def _pair_curation_meta_oracle() -> str:
                g.gate_ok AND coalesce(l.node = l.cluster_id, TRUE) AS keep
         FROM gated g LEFT JOIN lab l ON l.node = g.image_id
         ORDER BY g.image_id
+    """
+
+
+def _wds_oracle_ctes() -> str:
+    """Shared WDS-oracle prefix: the synthesized non-null-caption pair
+    set with the deterministic raw-bitmap image length, the exact ustar
+    per-sample cost (two 512 B headers + block-padded payloads), and the
+    contiguous-fill shard assignment (flat window here — fixture scale;
+    the Spark side's two-level bucket scan computes the same exclusive
+    prefix because the bucket is order-aligned)."""
+    return f"""
+        synth AS (
+            SELECT doc_id AS image_id,
+                   (32 + (doc_id % 97))::INT AS w,
+                   (32 + (doc_id % 53))::INT AS h,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        WHEN doc_id % 17 = 0 THEN 'x'
+                        ELSE substring(text, 1, 40) END AS caption
+            FROM documents
+        ),
+        lens AS (
+            SELECT image_id,
+                   (54 + 3::BIGINT * w * h) AS img_len,
+                   strlen(caption)::BIGINT AS cap_len
+            FROM synth WHERE caption IS NOT NULL
+        ),
+        entries AS (
+            SELECT image_id, img_len, cap_len,
+                   (1024 + ((img_len + 511) // 512) * 512
+                         + ((cap_len + 511) // 512) * 512)::BIGINT AS entry_bytes
+            FROM lens
+        ),
+        sharded AS (
+            SELECT image_id, img_len, cap_len, entry_bytes,
+                   ((sum(entry_bytes) OVER (ORDER BY image_id
+                                            ROWS UNBOUNDED PRECEDING)
+                     - entry_bytes) // {_WDS_BUDGET})::BIGINT AS shard_id
+            FROM entries
+        )
+    """
+
+
+def _wds_plan_oracle() -> str:
+    return f"""
+        WITH {_wds_oracle_ctes()}
+        SELECT image_id, entry_bytes, shard_id
+        FROM sharded ORDER BY image_id
+    """
+
+
+def _wds_manifest_oracle() -> str:
+    # tar_bytes: member content + 1024 end-of-archive zero blocks,
+    # rounded up to the 10240-byte tar record — predicts the MEASURED
+    # on-disk file size of every shard the Spark side actually wrote
+    return f"""
+        WITH {_wds_oracle_ctes()}
+        SELECT shard_id,
+               count(*)::BIGINT AS n_samples,
+               sum(img_len + cap_len)::BIGINT AS payload_bytes,
+               (((sum(entry_bytes) + 1024 + 10239) // 10240) * 10240)::BIGINT
+                   AS tar_bytes
+        FROM sharded GROUP BY shard_id ORDER BY shard_id
     """
 
 
@@ -2117,6 +2251,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_ann": _incremental_ann_oracle(),
         "pair_curation_meta": _pair_curation_meta_oracle(),
         "pair_alignment": _pair_alignment_oracle(),
+        "wds_plan": _wds_plan_oracle(),
+        "wds_manifest": _wds_manifest_oracle(),
         "pair_funnel": _pair_funnel_oracle(),
         "cross_modal_topk": _cross_modal_topk_oracle(),
         "aspect_batches": _aspect_batches_oracle(),

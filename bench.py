@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "pair_funnel",
     "cross_modal_topk",
     "image_quality",
+    "wds_plan",
+    "wds_manifest",
 ]
 
 CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "600"))
