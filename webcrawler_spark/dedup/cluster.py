@@ -107,12 +107,6 @@ def connected_components(
         .distinct()
         .persist()
     )
-    nodes = (
-        orig.select("u")
-        .union(orig.select(F.col("v").alias("u")))
-        .distinct()
-        .withColumnRenamed("u", "node")
-    )
 
     sc = edges.sparkSession.sparkContext
     e = orig
@@ -144,12 +138,19 @@ def connected_components(
             break
         prev_sig = sig
 
-    # converged star forest: e = (child, root); roots carry no out-edge
-    comp = nodes.join(
-        e.withColumnRenamed("u", "node").withColumnRenamed("v", "component"),
-        "node",
-        "left",
-    ).select("node", F.coalesce("component", "node").alias("component"))
+    # converged star forest: e = (child, root) is a FUNCTION of child
+    # (each child points at exactly one root; the convergence signature
+    # held for two rounds, so the set is star-stable) and every node of
+    # the input graph appears as a child or a root. Read the mapping
+    # straight off the forest — children map to their root, roots to
+    # themselves — instead of rebuilding the node set from ``orig`` and
+    # joining (that was a union+distinct+join: two extra exchanges per
+    # call on the hot iterative path's result).
+    comp = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .distinct()
+    )
     return comp
 
 
