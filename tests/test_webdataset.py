@@ -121,6 +121,51 @@ def test_tar_members_are_ustar_and_key_ordered(planned, tmp_path):
     assert all(keys.count(k) == 2 for k in set(keys))
 
 
+def test_stream_webdataset_exactly_once(spark, pairs_pdf, tmp_path):
+    import os
+
+    from webcrawler_spark.streaming.webdataset import stream_webdataset
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    chunks = [pairs_pdf.iloc[:16], pairs_pdf.iloc[16:32], pairs_pdf.iloc[32:]]
+
+    def drop(i):
+        # one plain parquet file per drop, ascending mtimes so the file
+        # source's oldest-first ordering matches drop order
+        p = str(feed / f"part_{i}.parquet")
+        chunks[i].to_parquet(p, index=False)
+        os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    out, ckpt = str(tmp_path / "wds"), str(tmp_path / "ckpt")
+    drop(0)
+    drop(1)
+    assert stream_webdataset(spark, str(feed), out, ckpt, budget_bytes=64 * 1024) == 2
+    # a third file lands; same checkpoint → only the new file is exported
+    drop(2)
+    assert stream_webdataset(spark, str(feed), out, ckpt, budget_bytes=64 * 1024) == 1
+    # idle pass: nothing new → nothing exported
+    assert stream_webdataset(spark, str(feed), out, ckpt, budget_bytes=64 * 1024) == 0
+
+    # union of all batch shards round-trips to exactly the full input
+    back = {
+        r["key"]: r
+        for r in read_webdataset(spark, out + "/batch=*/shard-*.tar").collect()
+    }
+    assert len(back) == len(pairs_pdf)
+    for _, p in pairs_pdf.iterrows():
+        b = back[p["image_id"]]
+        assert bytes(b["bytes"]) == bytes(p["bytes"])
+        assert b["caption"] == p["caption"]
+
+    # manifest: every row's measured tar_bytes matches the file on disk
+    man = spark.read.parquet(out + "/_manifest").collect()
+    assert {m["batch_id"] for m in man} == {0, 1, 2}
+    assert sum(m["n_samples"] for m in man) == len(pairs_pdf)
+    for m in man:
+        assert os.path.getsize(m["path"]) == m["tar_bytes"]
+
+
 def test_null_caption_fails_fast(spark, pairs_pdf, tmp_path):
     pdf = pairs_pdf.copy()
     pdf.loc[pdf.index[0], "caption"] = None
