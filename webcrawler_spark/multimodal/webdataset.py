@@ -188,6 +188,17 @@ def write_webdataset(
     def _write(pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(pdf["shard_id"].iloc[0])
         pdf = pdf.sort_values("key", kind="mergesort")
+        if not pdf["key"].is_unique:
+            dup = pdf["key"][pdf["key"].duplicated()].iloc[0]
+            raise ValueError(
+                f"duplicate key {dup!r} in shard {sid}: tar member names "
+                "would collide and a reader would silently drop samples — "
+                "dedup upstream"
+            )
+        if (pdf["fmt"] == "txt").any():
+            raise ValueError(
+                "fmt='txt' collides with the caption member extension"
+            )
         path = os.path.join(out_dir, f"shard-{sid:06d}.tar")
         tmp = path + ".inprogress"
         payload = 0
