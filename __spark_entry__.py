@@ -765,6 +765,21 @@ def _q_shard_plan(spark, sf):
     )
 
 
+def _q_sequence_pack(spark, sf):
+    # GPT-style packed-pretraining layout over the curated corpus:
+    # documents concatenated per split and cut every 2048 tokens, one row
+    # per (doc x overlapped sequence) span — the loader-facing twin of
+    # shard_plan (which never splits docs). One windowed prefix sum + a
+    # <=2-row explode per doc; no join, no state.
+    from webcrawler_spark.curation import pack_sequences, train_split
+
+    split = train_split(_curation_corpus(spark, sf), _CURATION_RATES)
+    return (
+        pack_sequences(split.select("doc_id", "split", "n_tokens"), 2048)
+        .orderBy("doc_id", "seq_id")
+    )
+
+
 def _q_token_histogram(spark, sf):
     # sequence-length planning: docs + tokens per power-of-two token-count
     # bin (integer CASE boundaries — no float log2 edge cases)
@@ -1275,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "train_split": _q_train_split,
         "shard_plan": _q_shard_plan,
+        "sequence_pack": _q_sequence_pack,
         "token_histogram": _q_token_histogram,
         "incremental_curation": _q_incremental_curation,
         "pair_curation": _q_pair_curation,
@@ -1309,6 +1325,7 @@ from webcrawler_spark.curation import (  # noqa: E402
     assign_split_duckdb as _assign_split_duckdb,
     hash_bucket_duckdb as _hash_bucket_duckdb,
     pack_shards_duckdb_expr as _pack_shards_duckdb,
+    pack_sequences_duckdb_sql as _pack_sequences_duckdb,
     pow2_bin_duckdb as _pow2_bin_duckdb,
     rate_expr_duckdb as _rate_expr_duckdb,
 )
@@ -2239,6 +2256,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, split,
                    {_pack_shards_duckdb(4096)} AS shard_id
             FROM sp ORDER BY doc_id
+        """,
+        "sequence_pack": f"""
+            WITH {_curation_oracle_ctes()},
+            sp AS (
+                SELECT doc_id, n_tokens,
+                       {_assign_split_duckdb("doc_id")} AS split
+                FROM k WHERE keep_sampled
+            )
+            SELECT * FROM (
+                {_pack_sequences_duckdb(2048, "sp", cols="doc_id, split, n_tokens")}
+            ) ORDER BY doc_id, seq_id
         """,
         "token_histogram": f"""
             WITH n AS (SELECT len({toks})::INT AS n FROM documents)

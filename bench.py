@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "image_quality",
     "wds_plan",
     "wds_manifest",
+    "sequence_pack",
 ]
 
 CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "600"))

@@ -351,6 +351,38 @@ def test_pack_shards_contiguous_and_budget_bounded(corpus):
         assert (per < budget + grp.n_tokens.max()).all()
 
 
+def test_pack_sequences_tiles_exactly(corpus):
+    from webcrawler_spark.curation import pack_sequences
+
+    rates = {"en": 5000, "zh": 2500}
+    seq = 512
+    split = train_split(corpus, rates).select("doc_id", "split", "n_tokens")
+    spans = pack_sequences(split, seq).toPandas()
+    src = split.toPandas()
+    for sp, grp in spans.groupby("split"):
+        # per-doc: spans reconstruct the document exactly, in order
+        for doc, d in grp.groupby("doc_id"):
+            d = d.sort_values("seq_id")
+            n = src[src.doc_id == doc].n_tokens.iloc[0]
+            assert d.span_len.sum() == n
+            assert d.doc_offset.iloc[0] == 0
+            assert (d.doc_offset == d.span_len.cumsum() - d.span_len).all()
+            # consecutive sequences, no gaps
+            assert (d.seq_id.diff().dropna() == 1).all()
+        # per-sequence: spans tile [0, seq) exactly (except the tail seq)
+        last = grp.seq_id.max()
+        for sid, s in grp.groupby("seq_id"):
+            s = s.sort_values("seq_offset")
+            assert s.seq_offset.iloc[0] == 0
+            assert (s.seq_offset == s.span_len.cumsum() - s.span_len).all()
+            if sid != last:
+                assert s.span_len.sum() == seq
+            else:
+                assert 0 < s.span_len.sum() <= seq
+        # total conservation
+        assert grp.span_len.sum() == src[src.split == sp].n_tokens.sum()
+
+
 # ---------------------------------------------------------------------------
 # image-pair funnel vs brute-force union-find oracle
 # ---------------------------------------------------------------------------

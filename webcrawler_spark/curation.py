@@ -610,6 +610,105 @@ def pack_shards(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_tokens: int,
+    tokens_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    by: tuple[str, ...] = ("split",),
+) -> DataFrame:
+    """GPT-style packed-pretraining layout: within each ``by`` group the
+    documents are CONCATENATED in ``order_col`` order and cut every
+    ``seq_tokens`` tokens — documents split across cuts (the standard
+    causal-LM packing; ``pack_shards`` is the never-split file-level
+    counterpart). One output row per (document × overlapped sequence):
+
+      seq_id      — which fixed-length sequence the span lands in
+      doc_offset  — first token of the span, within the DOCUMENT
+      seq_offset  — first token of the span, within the SEQUENCE
+      span_len    — tokens in the span (≥1)
+
+    so a loader can assemble any sequence by concatenating its spans in
+    seq_offset order, and attention masking / loss weighting can find
+    every document boundary. Zero-token docs contribute no span.
+
+    Scale: one windowed prefix sum per group + an explode of at most
+    ceil(tokens/seq_tokens)+1 rows per doc — no join, no state; the
+    window partitions by ``by`` exactly like ``pack_shards`` (split ×
+    lang in a production writer keeps each window arrival-rate-sized).
+    DuckDB mirror in ``pack_sequences_duckdb_sql``."""
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(tokens_col).over(w) - F.col(tokens_col)).cast("long")
+    n = F.col(tokens_col).cast("long")
+    s = F.lit(int(seq_tokens)).cast("long")
+    spanned = (
+        df.where(F.col(tokens_col) > 0)
+        .withColumn("_start", start)
+        .withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_start") / s).cast("long"),
+                    F.floor((F.col("_start") + n - 1) / s).cast("long"),
+                )
+            ),
+        )
+    )
+    seq_lo = F.col("seq_id") * s
+    return spanned.select(
+        *[F.col(c) for c in df.columns],
+        F.col("seq_id"),
+        F.greatest(seq_lo - F.col("_start"), F.lit(0).cast("long")).alias(
+            "doc_offset"
+        ),
+        F.greatest(F.col("_start") - seq_lo, F.lit(0).cast("long")).alias(
+            "seq_offset"
+        ),
+        (
+            F.least(F.col("_start") + n, seq_lo + s)
+            - F.greatest(F.col("_start"), seq_lo)
+        ).alias("span_len"),
+    )
+
+
+def pack_sequences_duckdb_sql(
+    seq_tokens: int,
+    from_clause: str,
+    cols: str = "doc_id, split, n_tokens",
+    tokens_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    by: str = "split",
+) -> str:
+    """DuckDB mirror of ``pack_sequences`` (exact integer arithmetic on
+    both sides; `//` here == floor-div on the non-negative offsets)."""
+    t = int(seq_tokens)
+    return f"""
+        WITH pseq_s AS (
+            SELECT {cols},
+                   (sum({tokens_col}) OVER (PARTITION BY {by}
+                        ORDER BY {order_col} ROWS UNBOUNDED PRECEDING)
+                    - {tokens_col})::BIGINT AS _start
+            FROM {from_clause}
+            WHERE {tokens_col} > 0
+        ),
+        pseq_x AS (
+            SELECT *, unnest(generate_series(_start // {t},
+                         (_start + {tokens_col} - 1) // {t})) AS seq_id
+            FROM pseq_s
+        )
+        SELECT {cols}, seq_id::BIGINT AS seq_id,
+               greatest(seq_id * {t} - _start, 0)::BIGINT AS doc_offset,
+               greatest(_start - seq_id * {t}, 0)::BIGINT AS seq_offset,
+               (least(_start + {tokens_col}, (seq_id + 1) * {t})
+                - greatest(_start, seq_id * {t}))::BIGINT AS span_len
+        FROM pseq_x
+    """
+
+
 def pack_shards_duckdb_expr(
     budget_tokens: int,
     tokens_col: str = "n_tokens",
