@@ -1003,6 +1003,20 @@ def _q_wds_manifest(spark, sf):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_patch_pack(spark, sf):
+    # NaViT-style native-aspect packing: per-image ceil(w/16)*ceil(h/16)
+    # patch tokens, variable-resolution images packed into ~40-token
+    # sequences by the contiguous-fill rule within salted shards (no
+    # single-reducer window); oversize images carry fits=false + NULL
+    # plan. Budget 40 < the synth max grid (8*6=48) so the gate is
+    # non-vacuous.
+    from webcrawler_spark.multimodal.bucketing import patch_pack
+
+    return patch_pack(
+        _synth_pair_meta(spark, sf), patch=16, token_budget=40, shards=4
+    ).orderBy("image_id")
+
+
 def _q_pair_alignment(spark, sf):
     # image-caption alignment gate (the CLIP-score filter of LAION-style
     # curation) with deterministic hash-projection encoders — the swap
@@ -1297,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_curation_meta": _q_pair_curation_meta,
         "pair_alignment": _q_pair_alignment,
         "wds_plan": _q_wds_plan,
+        "patch_pack": _q_patch_pack,
         "wds_manifest": _q_wds_manifest,
         "pair_funnel": _q_pair_funnel,
         "cross_modal_topk": _q_cross_modal_topk,
@@ -1537,6 +1552,25 @@ def _wds_oracle_ctes() -> str:
                      - entry_bytes) // {_WDS_BUDGET})::BIGINT AS shard_id
             FROM entries
         )
+    """
+
+
+def _patch_pack_oracle() -> str:
+    """Mirror of _q_patch_pack: the synth pair table (only image_id/w/h
+    are read), then bucketing.patch_pack_duckdb's exact integer math."""
+    from webcrawler_spark.multimodal.bucketing import patch_pack_duckdb
+
+    return f"""
+        WITH synth AS (
+            SELECT doc_id AS image_id,
+                   (32 + (doc_id % 97))::INT AS w,
+                   (32 + (doc_id % 53))::INT AS h
+            FROM documents
+        ),
+        {patch_pack_duckdb("synth", patch=16, token_budget=40, shards=4)}
+        SELECT image_id, w, h, n_tokens, fits, shard,
+               seq_id, seq_offset, is_overflow
+        FROM ppk ORDER BY image_id
     """
 
 
@@ -2280,6 +2314,7 @@ def oracle_sql() -> dict[str, str]:
         "pair_curation_meta": _pair_curation_meta_oracle(),
         "pair_alignment": _pair_alignment_oracle(),
         "wds_plan": _wds_plan_oracle(),
+        "patch_pack": _patch_pack_oracle(),
         "wds_manifest": _wds_manifest_oracle(),
         "pair_funnel": _pair_funnel_oracle(),
         "cross_modal_topk": _cross_modal_topk_oracle(),

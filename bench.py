@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "wds_plan",
     "wds_manifest",
     "sequence_pack",
+    "patch_pack",
 ]
 
 CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "600"))

@@ -145,3 +145,40 @@ def test_assignment_property_random_dims(spark):
     for r in df.collect():
         bid, bw, bh = _best_bucket(r.w, r.h)
         assert (r.b.bucket_id, r.b.bucket_w, r.b.bucket_h) == (bid, bw, bh), (r.w, r.h)
+
+
+# ---------------------------------------------------------------------------
+# NaViT-style native-aspect patch packing
+# ---------------------------------------------------------------------------
+
+def test_patch_pack_invariants(spark):
+    from webcrawler_spark.multimodal.bucketing import patch_pack
+
+    rows = [
+        (i, 16 + (i * 37) % 200, 16 + (i * 53) % 160) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "image_id long, w int, h int")
+    budget = 60
+    out = patch_pack(df, patch=16, token_budget=budget, shards=3).toPandas()
+    assert len(out) == 120
+    # token count is the native patch grid
+    for r in out.itertuples():
+        assert r.n_tokens == -(-r.w // 16) * -(-r.h // 16)
+        assert r.fits == (r.n_tokens <= budget)
+    nofit = out[~out.fits]
+    assert len(nofit) > 0  # non-vacuous gate
+    assert nofit.seq_id.isna().all() and (~nofit.is_overflow).all()
+    fit = out[out.fits]
+    for _, grp in fit.groupby("shard"):
+        grp = grp.sort_values("image_id").reset_index(drop=True)
+        # recompute the contiguous-fill rule: an image lands where its
+        # exclusive token prefix starts
+        prefix = grp.n_tokens.cumsum() - grp.n_tokens
+        assert (grp.seq_id == prefix // budget).all()
+        assert (grp.seq_offset == prefix - grp.seq_id * budget).all()
+        assert (grp.is_overflow == (grp.seq_offset + grp.n_tokens > budget)).all()
+        # a sequence overflows by at most one image's tokens
+        per = grp.groupby("seq_id").n_tokens.sum()
+        assert (per < budget + grp.n_tokens.max()).all()
+        # every image in exactly one sequence: token conservation
+        assert per.sum() == grp.n_tokens.sum()

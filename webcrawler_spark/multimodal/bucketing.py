@@ -250,3 +250,103 @@ def aspect_batches_duckdb(
                    = {batch_size} AS is_full
         FROM packed
     """
+
+
+def patch_tokens(w: Column, h: Column, patch: int = 16) -> Column:
+    """Native-aspect ViT patch count: ceil(w/p) * ceil(h/p), exact
+    integer arithmetic (floor of a small-int double division is exact)."""
+    p = F.lit(patch).cast("long")
+    return (
+        F.floor((w.cast("long") + p - F.lit(1)) / p)
+        * F.floor((h.cast("long") + p - F.lit(1)) / p)
+    ).cast("long")
+
+
+def patch_pack(
+    pairs: DataFrame,
+    patch: int = 16,
+    token_budget: int = 1024,
+    shards: int = 4,
+) -> DataFrame:
+    """NaViT-style native-aspect packing plan (Dehghani et al. 2023,
+    "Patch n' Pack", public method): images are NEVER resized to a
+    common shape — each costs its own patch-token count — and variable-
+    resolution images pack together into ~token_budget sequences by the
+    same contiguous-fill rule as ``curation.pack_shards`` (an image lands
+    in the sequence where its exclusive token prefix starts, so images
+    never split and a sequence overflows by at most one image, flagged
+    ``is_overflow``). The complement of aspect-bucket batching
+    (``aspect_bucket_batches``): that trades aspect fidelity for uniform
+    shapes; this keeps native resolution and trades uniform shapes for
+    attention masking.
+
+    One row per input image: (image_id, w, h, n_tokens, fits, shard,
+    seq_id, seq_offset, is_overflow). Images with n_tokens > token_budget
+    can never pack: fits=false, NULL plan columns (gate or down-sample
+    upstream). Parallelism is explicit like the batch packer's: rows
+    salt into ``shards`` deterministic sub-streams and the prefix window
+    runs per shard — no single-reducer window at 10^10 images.
+    DuckDB mirror in ``patch_pack_duckdb``."""
+    base = (
+        pairs.select("image_id", "w", "h")
+        .withColumn("n_tokens", patch_tokens(F.col("w"), F.col("h"), patch))
+        .withColumn("fits", F.col("n_tokens") <= F.lit(int(token_budget)))
+        .withColumn("shard", shard_of(F.col("image_id"), shards))
+    )
+    w_sh = (
+        Window.partitionBy("shard")
+        .orderBy("image_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = (F.sum("n_tokens").over(w_sh) - F.col("n_tokens")).cast("long")
+    b = F.lit(int(token_budget)).cast("long")
+    packed = (
+        base.filter("fits")
+        .withColumn("_pre", prefix)
+        .withColumn("seq_id", F.floor(F.col("_pre") / b).cast("long"))
+        .withColumn("seq_offset", (F.col("_pre") - F.col("seq_id") * b).cast("long"))
+        .withColumn("is_overflow", F.col("seq_offset") + F.col("n_tokens") > b)
+        .select("image_id", "seq_id", "seq_offset", "is_overflow")
+    )
+    return base.join(packed, "image_id", "left").select(
+        "image_id", "w", "h", "n_tokens", "fits", "shard",
+        "seq_id", "seq_offset",
+        # a non-packed image overflows nothing: real false, not NULL
+        # (engines disagree on null-bool pandas representation — same
+        # rule as the funnel's is_full)
+        F.coalesce("is_overflow", F.lit(False)).alias("is_overflow"),
+    )
+
+
+def patch_pack_duckdb(
+    pairs_cte: str, patch: int = 16, token_budget: int = 1024, shards: int = 4
+) -> str:
+    """DuckDB mirror of ``patch_pack`` over (image_id, w, h)."""
+    h = PORTABLE_HASH64_DUCKDB.format(
+        col=f"('{_SHARD_SALT}|' || image_id::VARCHAR)"
+    )
+    p, b = int(patch), int(token_budget)
+    return f"""
+        ppk_base AS (
+            SELECT image_id, w, h,
+                   (((w + {p - 1}) // {p}) * ((h + {p - 1}) // {p}))::BIGINT
+                       AS n_tokens,
+                   ({h} % {shards})::INT AS shard
+            FROM {pairs_cte}
+        ),
+        ppk_fit AS (
+            SELECT *, (sum(n_tokens) OVER (PARTITION BY shard
+                           ORDER BY image_id ROWS UNBOUNDED PRECEDING)
+                       - n_tokens)::BIGINT AS _pre
+            FROM ppk_base WHERE n_tokens <= {b}
+        ),
+        ppk AS (
+            SELECT b.image_id, b.w, b.h, b.n_tokens,
+                   (b.n_tokens <= {b}) AS fits, b.shard,
+                   (f._pre // {b})::BIGINT AS seq_id,
+                   (f._pre % {b})::BIGINT AS seq_offset,
+                   coalesce((f._pre % {b}) + b.n_tokens > {b}, FALSE)
+                       AS is_overflow
+            FROM ppk_base b LEFT JOIN ppk_fit f USING (image_id)
+        )
+    """
