@@ -1583,16 +1583,16 @@ def _wds_plan_oracle() -> str:
 
 
 def _wds_manifest_oracle() -> str:
-    # tar_bytes: member content + 1024 end-of-archive zero blocks,
-    # rounded up to the 10240-byte tar record — predicts the MEASURED
-    # on-disk file size of every shard the Spark side actually wrote
+    # tar_bytes via the module's own size-model helper — predicts the
+    # MEASURED on-disk file size of every shard the Spark side wrote
+    from webcrawler_spark.multimodal.webdataset import tar_file_bytes_sql
+
     return f"""
         WITH {_wds_oracle_ctes()}
         SELECT shard_id,
                count(*)::BIGINT AS n_samples,
                sum(img_len + cap_len)::BIGINT AS payload_bytes,
-               (((sum(entry_bytes) + 1024 + 10239) // 10240) * 10240)::BIGINT
-                   AS tar_bytes
+               ({tar_file_bytes_sql("sum(entry_bytes)")})::BIGINT AS tar_bytes
         FROM sharded GROUP BY shard_id ORDER BY shard_id
     """
 

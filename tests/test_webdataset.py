@@ -159,11 +159,32 @@ def test_stream_webdataset_exactly_once(spark, pairs_pdf, tmp_path):
         assert b["caption"] == p["caption"]
 
     # manifest: every row's measured tar_bytes matches the file on disk
+    # (batch_id comes back as the partition column of the _manifest root)
     man = spark.read.parquet(out + "/_manifest").collect()
-    assert {m["batch_id"] for m in man} == {0, 1, 2}
+    assert {int(m["batch_id"]) for m in man} == {0, 1, 2}
     assert sum(m["n_samples"] for m in man) == len(pairs_pdf)
     for m in man:
         assert os.path.getsize(m["path"]) == m["tar_bytes"]
+
+    # reused out_dir with a FRESH checkpoint would replay batch ids over
+    # stale markers and silently skip new data — must refuse loudly
+    with pytest.raises(RuntimeError, match="fresh"):
+        stream_webdataset(
+            spark, str(feed), out, str(tmp_path / "ckpt2"),
+            budget_bytes=64 * 1024,
+        )
+
+
+def test_plan_null_bucket_fails_fast(spark, pairs_pdf):
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(pairs_pdf)
+    bkt = F.when(
+        F.col("image_id") != "img0000000003",
+        (F.substring("image_id", 4, 10).cast("long") / 16).cast("long"),
+    )  # NULL for one row
+    with pytest.raises(Exception, match="NULL bucket"):
+        plan_wds_shards(pairs, budget_bytes=64 * 1024, bucket=bkt).collect()
 
 
 def test_null_caption_fails_fast(spark, pairs_pdf, tmp_path):

@@ -98,9 +98,10 @@ def connected_components(
     star converges in O(log n) rounds w.h.p. (SoCC'14 Thm 1-2); real
     near-dup graphs finish in a handful.
     """
-    # persist the (thin) edge set once: every star round and the final
-    # node join re-reads it, and its upstream is typically a full LSH
-    # pipeline that must not recompute per round
+    # persist the (thin) edge set: the first star round references it ~4×
+    # and its upstream is typically a full LSH pipeline that must not
+    # recompute per pass; released after convergence (later rounds read
+    # only the checkpointed contraction)
     orig = (
         edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -151,6 +152,7 @@ def connected_components(
         .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
         .distinct()
     )
+    orig.unpersist()  # e is checkpointed; nothing downstream reads orig
     return comp
 
 

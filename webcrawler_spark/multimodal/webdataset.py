@@ -18,8 +18,9 @@ Three pieces, each independently verifiable:
   zero-padded to a 512-byte block, so a sample's cost is
   ``1024 + pad512(image_bytes) + pad512(caption_utf8_bytes)``.
 * ``write_webdataset`` — one task per shard writes one deterministic
-  tar (USTAR format, mtime=0, uid=gid=0, entries in key order, tmp-file
-  + atomic rename) and returns a manifest row with the MEASURED file
+  tar (USTAR format, mtime=0, uid=gid=0, entries in corpus order,
+  attempt-unique tmp file + atomic rename) and returns a manifest row
+  with the MEASURED file
   size; because the size model is exact, the manifest's ``tar_bytes``
   equals ``pad_record(sum(entry_bytes) + 1024)`` — the driver query's
   DuckDB oracle predicts real on-disk file sizes to the byte.
@@ -49,6 +50,7 @@ from __future__ import annotations
 import io
 import os
 import tarfile
+import uuid
 from typing import Iterator
 
 import pandas as pd
@@ -111,7 +113,19 @@ def plan_wds_shards(
     img_len = img_len if img_len is not None else F.octet_length("bytes")
     cap_len = cap_len if cap_len is not None else F.octet_length("caption")
     e = pairs.withColumn("entry_bytes", tar_entry_bytes(img_len, cap_len))
-    e = e.withColumn("_bkt", bucket.cast("long"))
+    # a NULL bucket would silently vanish in the offset equi-join below —
+    # fail loudly instead (NULL also can't be order-aligned)
+    e = e.withColumn(
+        "_bkt",
+        F.when(bucket.isNotNull(), bucket.cast("long")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "plan_wds_shards: NULL bucket value — the bucket "
+                    "expression must be non-null and order-aligned"
+                )
+            ).cast("long")
+        ),
+    )
     # within-bucket inclusive running sum: parallel across buckets
     w_in = (
         Window.partitionBy("_bkt")
@@ -172,12 +186,18 @@ def write_webdataset(
 
     One shard = one task (the groupBy exchange co-locates a shard's
     bytes with its writer); per-task memory is bounded by the planner's
-    ``budget_bytes``. Writes are atomic: tmp file + ``os.replace``."""
+    ``budget_bytes``. Writes are atomic and race-safe under speculative
+    execution: each attempt writes an attempt-unique tmp file, the
+    same-directory ``os.replace`` is atomic, and both attempts produce
+    byte-identical tars, so whichever lands last changes nothing.
+    Members are written in ``id_col``'s NATIVE order (the planner's
+    corpus order), not the string-cast order of the key."""
     fmt_expr = (
         F.col(fmt_col) if fmt_col and fmt_col in planned.columns else F.lit("img")
     )
     slim = planned.select(
         F.col("shard_id"),
+        F.col(id_col).alias("_ord"),
         F.col(id_col).cast("string").alias("key"),
         F.col("bytes"),
         F.col("caption"),
@@ -187,7 +207,7 @@ def write_webdataset(
 
     def _write(pdf: pd.DataFrame) -> pd.DataFrame:
         sid = int(pdf["shard_id"].iloc[0])
-        pdf = pdf.sort_values("key", kind="mergesort")
+        pdf = pdf.sort_values("_ord", kind="mergesort")
         if not pdf["key"].is_unique:
             dup = pdf["key"][pdf["key"].duplicated()].iloc[0]
             raise ValueError(
@@ -195,12 +215,13 @@ def write_webdataset(
                 "would collide and a reader would silently drop samples — "
                 "dedup upstream"
             )
-        if (pdf["fmt"] == "txt").any():
+        if (pdf["fmt"] == "txt").any() or pdf["fmt"].isna().any():
             raise ValueError(
-                "fmt='txt' collides with the caption member extension"
+                "fmt must be non-null and != 'txt' (member name would "
+                "collide with the caption's .txt or stringify as 'None')"
             )
         path = os.path.join(out_dir, f"shard-{sid:06d}.tar")
-        tmp = path + ".inprogress"
+        tmp = f"{path}.inprogress.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         payload = 0
         with tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT) as tf:
             for key, img, cap, fmt in zip(

@@ -10,14 +10,18 @@ manifest table accumulates one row per written shard.
 Exactly-once story (foreachBatch itself is at-least-once):
 
 * tar writes are IDEMPOTENT without any marker: the writer is
-  deterministic to the byte (USTAR, mtime=0, key-ordered members) and
-  lands via tmp-file + atomic rename, so a replayed batch re-writes
-  identical files over identical names — tested in
+  deterministic to the byte (USTAR, mtime=0, corpus-ordered members)
+  and lands via attempt-unique tmp file + atomic rename, so a replayed
+  batch re-writes identical files over identical names — tested in
   ``tests/test_webdataset.py`` (write determinism).
-* the manifest APPEND is the non-idempotent step, so it is guarded by a
-  per-batch DONE marker (same pattern as ``streaming/curation.py``):
-  replay of a completed batch skips both the re-write and the
-  double-append.
+* the manifest is written per batch to its own ``_manifest/batch=NNNNN``
+  directory with mode=overwrite, so a replay (including a crash between
+  manifest write and marker creation) REWRITES identical rows instead of
+  double-appending; the per-batch DONE marker only skips redundant
+  re-work.
+* reusing an ``out_dir`` with a FRESH checkpoint would replay batch ids
+  from 0 against stale markers and silently skip NEW data — detected at
+  start and raised loudly.
 
 Shard ids are per-batch (each batch plans from byte offset 0 under its
 own ``batch=NNNNN`` directory), so shard names are deterministic
@@ -66,6 +70,16 @@ def stream_webdataset(
     if schema is None:
         schema = spark.read.parquet(input_path).schema
     marker_root = os.path.join(out_dir, "_done")
+    if os.path.isdir(marker_root) and os.listdir(marker_root) and not os.path.isdir(
+        checkpoint_dir
+    ):
+        raise RuntimeError(
+            f"out_dir {out_dir!r} carries DONE markers from a previous "
+            f"export but checkpoint_dir {checkpoint_dir!r} is fresh: batch "
+            "ids would restart at 0 and stale markers would silently skip "
+            "NEW data. Reuse the original checkpoint, or export into a "
+            "fresh out_dir."
+        )
     os.makedirs(marker_root, exist_ok=True)
     exported = {"n": 0}
 
@@ -84,8 +98,14 @@ def stream_webdataset(
             os.path.join(out_dir, f"batch={batch_id:05d}"),
             id_col=id_col,
             fmt_col=fmt_col,
-        ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
-        man.write.mode("append").parquet(os.path.join(out_dir, "_manifest"))
+        )
+        # per-batch partition-dir overwrite, never a shared append: replay
+        # after a crash in the window before the marker lands rewrites
+        # IDENTICAL rows (batch_id comes back as the partition column when
+        # the _manifest root is read)
+        man.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "_manifest", f"batch_id={int(batch_id)}")
+        )
         os.makedirs(marker, exist_ok=True)
         exported["n"] += 1
 
