@@ -190,3 +190,43 @@ def test_composed_funnel_over_real_crawl_pairs(engine, spark):
     for rows_b in by_batch.values():
         assert sorted(r.slot for r in rows_b) == list(range(len(rows_b)))
         assert all(r.is_full == (len(rows_b) == 8) for r in rows_b)
+
+
+def test_crawl_to_training_shards_end_to_end(spark, engine, tmp_path):
+    """CAPSTONE: crawl store → pair assembly → composed curation funnel →
+    WebDataset tar shards → read-back. Exactly the funnel's selected
+    pairs land in the shards; their bytes and captions are byte-exact
+    against the assembled pair table."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.multimodal.funnel import pair_funnel
+    from webcrawler_spark.multimodal.webdataset import (
+        plan_wds_shards,
+        read_webdataset,
+        write_webdataset,
+    )
+
+    keys = distinct_caption_keys(engine.image_captions_df())
+    pairs = assemble_pairs(keys, ingest_payloads(keys)).persist()
+    fun = pair_funnel(pairs)
+    selected = {r.image_id for r in fun.collect() if r.selected}
+    assert selected  # the fixture crawl yields gated survivors
+    surv = pairs.join(
+        fun.filter("selected").select("image_id"), "image_id", "inner"
+    )
+    # order-aligned bucket: numeric tail of the zero-padded crc32 key
+    bkt = (F.substring("image_id", 4, 10).cast("long") / F.lit(1 << 20)).cast(
+        "long"
+    )
+    out = str(tmp_path / "wds")
+    write_webdataset(
+        plan_wds_shards(surv, budget_bytes=256 * 1024, bucket=bkt), out
+    ).collect()
+    back = {r["key"]: r for r in read_webdataset(spark, out + "/*.tar").collect()}
+    assert set(back) == selected
+    src = {r["image_id"]: r for r in surv.collect()}
+    for k, b in back.items():
+        assert bytes(b["bytes"]) == bytes(src[k]["bytes"])
+        assert b["caption"] == src[k]["caption"]
+        assert b["fmt"] == src[k]["fmt"]
+    pairs.unpersist()
