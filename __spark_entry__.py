@@ -1071,6 +1071,61 @@ def _q_domain_cap(spark, sf):
     return domain_cap(d, 8).orderBy("domain", "domain_rank")
 
 
+def _domain_mixture_corpus(spark, sf):
+    # skewed-domain view of documents: 3/4 of docs collapse into one hot
+    # domain (the Zipf head a raw crawl has), the rest keep their source
+    # — temperature flattening is non-vacuous only on a skewed mixture
+    return load(spark, sf, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 4 != 0, F.lit("hot.example"))
+        .otherwise(F.col("source"))
+        .alias("domain"),
+    )
+
+
+_DOMAIN_MIXTURE_DUCKDB = (
+    "(SELECT doc_id, text, CASE WHEN doc_id % 4 <> 0 THEN 'hot.example' "
+    "ELSE source END AS domain FROM documents)"
+)
+
+
+def _q_domain_mixture(spark, sf):
+    # Pile/DoReMi-shaped mixture plan: per-domain token shares flattened
+    # by a temperature-0.5 weight (floor(sqrt(tokens)) — engine-portable
+    # where pow() is not), a half-corpus token budget split by weight,
+    # and the per-domain sampling rate that realizes it. One map-side-
+    # combining groupBy; the totals join is a 1-row broadcast.
+    from webcrawler_spark.mixture import domain_mixture_plan
+
+    return domain_mixture_plan(_domain_mixture_corpus(spark, sf))
+
+
+def _q_mixture_sample(spark, sf):
+    # the realized mixture: apply each domain's rate_bp with the salted
+    # portable-hash bucket (append-stable, order-free) and census what
+    # actually survived per domain — the check that the plan's rates do
+    # flatten the hot domain toward its temperature-weighted target
+    from webcrawler_spark.mixture import mixture_sample
+
+    return mixture_sample(_domain_mixture_corpus(spark, sf))
+
+
+def _q_url_gates(spark, sf):
+    # FineWeb-style URL quality gates over a deterministically derived
+    # URL corpus (documents carry no URL; trap shapes planted by doc_id
+    # residue): length cap, digit-heavy slug, path depth, session-id
+    # params, blocklist terms, repeated-segment crawler loop. All narrow
+    # string predicates — a pushdown-friendly frontier filter at scale.
+    from webcrawler_spark.functions.url_gates import (
+        synthetic_urls,
+        url_gate_flags,
+    )
+
+    urls = synthetic_urls(load(spark, sf, "documents"))
+    return url_gate_flags(urls).orderBy("doc_id")
+
+
 def _q_resize_plan(spark, sf):
     # cover-resize + center-crop parameters onto each image's aspect
     # bucket — the narrow, UDF-free plan the Arrow decode stage consumes
@@ -1318,6 +1373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality": _q_image_quality,
         "aspect_batches": _q_aspect_batches,
         "domain_cap": _q_domain_cap,
+        "domain_mixture": _q_domain_mixture,
+        "mixture_sample": _q_mixture_sample,
+        "url_gates": _q_url_gates,
         "caption_dedup": _q_caption_dedup,
         "resize_plan": _q_resize_plan,
         "gopher_quality": _q_gopher_quality,
@@ -1344,6 +1402,7 @@ from webcrawler_spark.curation import (  # noqa: E402
     pow2_bin_duckdb as _pow2_bin_duckdb,
     rate_expr_duckdb as _rate_expr_duckdb,
 )
+from webcrawler_spark import mixture as _mixture  # noqa: E402
 from webcrawler_spark.dedup import decontaminate as _decon  # noqa: E402
 from webcrawler_spark.dedup import lines as _lines  # noqa: E402
 from webcrawler_spark.functions import gopher as _gopher  # noqa: E402
@@ -1884,6 +1943,29 @@ def _domain_cap_oracle() -> str:
     """
 
 
+_DUCK_TOKS_LEN = "len(" + _DUCK_TOKS.format(col="text") + ")"
+
+
+def _url_gates_oracle() -> str:
+    """Mirror of _q_url_gates: the identical synthetic URL derivation,
+    then the six gate predicates (same regex text, RE2-safe)."""
+    from webcrawler_spark.functions.url_gates import (
+        synthetic_urls_duckdb,
+        url_gate_flags_duckdb,
+    )
+
+    flags = url_gate_flags_duckdb("url")
+    cols = ",\n                   ".join(
+        f"{expr} AS {name}" for name, expr in flags.items()
+    )
+    return f"""
+        WITH urls AS ({synthetic_urls_duckdb()})
+        SELECT doc_id, url,
+                   {cols}
+        FROM urls ORDER BY doc_id
+    """
+
+
 def _aspect_batches_oracle() -> str:
     """Pure-SQL mirror of _q_aspect_batches: the synthesized w/h columns,
     cross-join argmin onto the bucket menu (identical IEEE dist, ties to
@@ -2320,6 +2402,15 @@ def oracle_sql() -> dict[str, str]:
         "cross_modal_topk": _cross_modal_topk_oracle(),
         "aspect_batches": _aspect_batches_oracle(),
         "domain_cap": _domain_cap_oracle(),
+        "domain_mixture": f"""
+            WITH {_mixture.domain_mixture_plan_duckdb(
+                _DOMAIN_MIXTURE_DUCKDB, _DUCK_TOKS_LEN)}
+            SELECT * FROM mix_plan ORDER BY domain
+        """,
+        "mixture_sample": _mixture.mixture_sample_duckdb(
+            _DOMAIN_MIXTURE_DUCKDB, _DUCK_TOKS_LEN
+        ),
+        "url_gates": _url_gates_oracle(),
         "caption_dedup": _caption_dedup_oracle(),
         "resize_plan": _resize_plan_oracle(),
         "gopher_quality": _gopher.gopher_oracle_sql(_pages.synthetic_pages_duckdb()),

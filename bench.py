@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "wds_manifest",
     "sequence_pack",
     "patch_pack",
+    "domain_mixture",
+    "mixture_sample",
+    "url_gates",
 ]
 
 CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "600"))
