@@ -1126,6 +1126,23 @@ def _q_url_gates(spark, sf):
     return url_gate_flags(urls).orderBy("doc_id")
 
 
+def _q_pagerank(spark, sf):
+    # link-graph analytics the reference exports its edge CSV for
+    # (sql_selects.sql:19-21), run natively: 5 fixed-point-INTEGER
+    # PageRank iterations over a deterministic synthetic webgraph (two
+    # pseudo-random out-links per page + a hub edge to node 0). Integer
+    # mass out of 10^12 makes the result order-independent and therefore
+    # engine-portable — float PageRank is not value-reproducible under
+    # distributed summation. The only driver-side value is the node
+    # count (one scalar, needed to size the teleport mass).
+    from webcrawler_spark.graph import pagerank, synthetic_links
+
+    docs = load(spark, sf, "documents")
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return pagerank(nodes, synthetic_links(docs, n), n).orderBy("node")
+
+
 def _q_resize_plan(spark, sf):
     # cover-resize + center-crop parameters onto each image's aspect
     # bucket — the narrow, UDF-free plan the Arrow decode stage consumes
@@ -1376,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": _q_domain_mixture,
         "mixture_sample": _q_mixture_sample,
         "url_gates": _q_url_gates,
+        "pagerank": _q_pagerank,
         "caption_dedup": _q_caption_dedup,
         "resize_plan": _q_resize_plan,
         "gopher_quality": _q_gopher_quality,
@@ -1966,6 +1984,19 @@ def _url_gates_oracle() -> str:
     """
 
 
+def _pagerank_oracle() -> str:
+    """Chained-CTE mirror of _q_pagerank (it0..it5, identical integer
+    arithmetic — see webcrawler_spark/graph.py on why integer)."""
+    from webcrawler_spark.graph import pagerank_duckdb, synthetic_links_duckdb
+
+    n = "SELECT count(*) FROM documents"
+    return pagerank_duckdb(
+        "SELECT doc_id AS node FROM documents",
+        synthetic_links_duckdb(n),
+        n,
+    )
+
+
 def _aspect_batches_oracle() -> str:
     """Pure-SQL mirror of _q_aspect_batches: the synthesized w/h columns,
     cross-join argmin onto the bucket menu (identical IEEE dist, ties to
@@ -2411,6 +2442,7 @@ def oracle_sql() -> dict[str, str]:
             _DOMAIN_MIXTURE_DUCKDB, _DUCK_TOKS_LEN
         ),
         "url_gates": _url_gates_oracle(),
+        "pagerank": _pagerank_oracle(),
         "caption_dedup": _caption_dedup_oracle(),
         "resize_plan": _resize_plan_oracle(),
         "gopher_quality": _gopher.gopher_oracle_sql(_pages.synthetic_pages_duckdb()),

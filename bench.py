@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "domain_mixture",
     "mixture_sample",
     "url_gates",
+    "pagerank",
 ]
 
 CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "600"))

@@ -1,0 +1,167 @@
+"""Link-graph analytics over the crawl's edge table — PageRank as a
+fixed-iteration, FIXED-POINT-INTEGER dataflow.
+
+The reference exports its link graph for exactly this kind of analysis
+(vertex/edge CSV at sql_selects.sql:19-21, consumed by a graph tool);
+this module runs the canonical crawl-graph metric natively as Spark
+DataFrame jobs instead of exporting.
+
+Why integer arithmetic: distributed float summation is order-dependent
+(partial aggregates combine in partition order), so a float PageRank is
+not value-reproducible across engines or even across runs with
+different partitioning — and the driver value-hashes Spark vs DuckDB.
+Ranks here are BIGINT mass out of a 10^12 total; every step is integer
+multiply / truncating divide / integer sum, all order-independent, so
+the result is bit-identical everywhere. The truncation discards at most
+outdeg units of mass per node per iteration — at 10^12 scale a relative
+error of ~10^-9, far below any ranking-relevant difference.
+
+Update rule (per iteration, damping 0.85 as 85/100):
+
+    contrib(u->v) = rank(u) DIV outdeg(u)          for each edge u->v
+    dang          = sum of rank(u) over sink nodes (no out-edges)
+    rank'(v)      = (15*BASE) DIV 100
+                    + (85 * (inflow(v) + dang DIV N)) DIV 100
+
+with BASE = TOTAL DIV N the uniform start mass. Sinks redistribute
+uniformly (the standard dangling-node fix), teleport mass goes to every
+node equally.
+
+Scale shape (10^10-edge graph): per iteration one shuffle keyed on src
+(edges ⋈ ranks ⋈ outdeg — ranks/outdeg co-partition on the same key) and
+one keyed on dst (the inflow aggregate, map-side combined); the dangling
+total is an aggregate-sized 1-row cross join, never a collect. A
+production run persists/checkpoints each iteration's ranks to cut the
+lineage chain; at test scale the lazy chain is fine and keeps the
+function pure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOTAL_MASS = 10**12
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic link graph (documents carry no link table)
+# ---------------------------------------------------------------------------
+
+def synthetic_links(docs: DataFrame, n_nodes: int, id_col: str = "doc_id") -> DataFrame:
+    """(src, dst) edges derived from doc ids: two pseudo-random out-links
+    per page plus a hub edge (every 3rd page links to node 0 — the
+    portal every gov site links back to), self-loops dropped, duplicate
+    edges collapsed. Mirrored value-for-value by
+    ``synthetic_links_duckdb``."""
+    u = F.col(id_col)
+    n = F.lit(n_nodes)
+    e1 = (u * 7 + 1) % n
+    e2 = (u * 13 + 5) % n
+    hub = F.when(u % 3 == 0, F.lit(0).cast("long"))
+    return (
+        docs.select(u.alias("src"), F.explode(F.array(e1, e2, hub)).alias("dst"))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .distinct()
+    )
+
+
+def synthetic_links_duckdb(n_nodes_expr: str, table: str = "documents",
+                           id_col: str = "doc_id") -> str:
+    """CTE body producing the identical (src, dst) edge rows. The three
+    edge families are a UNION ALL rather than an unnest — filtering an
+    unnest-produced column trips DuckDB's binder — and the node count is
+    hoisted into a 1-row cross join."""
+    nn = f"(SELECT ({n_nodes_expr})::BIGINT AS nn) _nn"
+    return f"""
+        SELECT DISTINCT src, dst FROM (
+            SELECT {id_col} AS src, ({id_col} * 7 + 1) % _nn.nn AS dst
+            FROM {table}, {nn}
+            UNION ALL
+            SELECT {id_col}, ({id_col} * 13 + 5) % _nn.nn
+            FROM {table}, {nn}
+            UNION ALL
+            SELECT {id_col}, 0 FROM {table} WHERE {id_col} % 3 = 0
+        ) WHERE dst <> src
+    """
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
+             n_iter: int = 5, total: int = TOTAL_MASS) -> DataFrame:
+    """(node, rank) after ``n_iter`` integer PageRank iterations.
+    ``nodes`` has one `node` column; ``edges`` has (src, dst) with both
+    endpoints present in ``nodes``."""
+    base = total // n_nodes
+    teleport = (15 * base) // 100
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"),
+                    F.expr("rank DIV outdeg").alias("c"))
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        dang = (
+            ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("d"))
+        )
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({DAMP_NUM} * (coalesce(s, 0) + d DIV {n_nodes}))"
+                        f" DIV {DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+        )
+    return ranks
+
+
+def pagerank_duckdb(nodes_cte: str, edges_cte: str, n_nodes_expr: str,
+                    n_iter: int = 5, total: int = TOTAL_MASS) -> str:
+    """Full SELECT mirroring ``pagerank`` via chained per-iteration CTEs
+    (it0..itK). `n_nodes_expr` may be a scalar subquery."""
+    n = f"({n_nodes_expr})"
+    base = f"({total} // {n})"
+    teleport = f"((15 * {base}) // 100)"
+    ctes = [
+        f"pr_nodes AS ({nodes_cte})",
+        f"pr_edges AS ({edges_cte})",
+        "pr_outdeg AS (SELECT src, count(*)::BIGINT AS outdeg "
+        "FROM pr_edges GROUP BY 1)",
+        f"it0 AS (SELECT node, {base}::BIGINT AS rank FROM pr_nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"it{i - 1}"
+        ctes.append(f"""it{i} AS (
+            SELECT nd.node,
+                   ({teleport} + ({DAMP_NUM} * (coalesce(inf.s, 0)
+                        + dang.d // {n})) // {DAMP_DEN})::BIGINT AS rank
+            FROM pr_nodes nd
+            LEFT JOIN (
+                SELECT e.dst AS node, sum(r.rank // o.outdeg)::BIGINT AS s
+                FROM pr_edges e
+                JOIN {prev} r ON r.node = e.src
+                JOIN pr_outdeg o ON o.src = e.src
+                GROUP BY 1
+            ) inf ON inf.node = nd.node
+            CROSS JOIN (
+                SELECT coalesce(sum(r.rank), 0)::BIGINT AS d
+                FROM {prev} r LEFT JOIN pr_outdeg o ON o.src = r.node
+                WHERE o.src IS NULL
+            ) dang
+        )""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, rank FROM it{n_iter} ORDER BY node")
