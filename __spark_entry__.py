@@ -788,6 +788,16 @@ def _q_token_histogram(spark, sf):
     return token_histogram(load(spark, sf, "documents"))
 
 
+def _q_length_quantiles(spark, sf):
+    # exact per-language token-length quantiles read off the LENGTH
+    # HISTOGRAM (groupBy(lang, len) first; the cumulative window sees at
+    # most |distinct lengths| rows per lang, never the corpus) — integer
+    # type-1 quantiles, so portable where interpolation/sketches are not
+    from webcrawler_spark.curation import length_quantiles
+
+    return length_quantiles(load(spark, sf, "documents"))
+
+
 def _q_incremental_curation(spark, sf):
     # the STATEFUL multi-batch pipeline vs ONE pure-SQL oracle: ingest
     # documents + exact clones + near-dup twins in two id-ordered batches
@@ -1378,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan": _q_shard_plan,
         "sequence_pack": _q_sequence_pack,
         "token_histogram": _q_token_histogram,
+        "length_quantiles": _q_length_quantiles,
         "incremental_curation": _q_incremental_curation,
         "pair_curation": _q_pair_curation,
         "pair_curation_meta": _q_pair_curation_meta,
@@ -1420,6 +1431,7 @@ from webcrawler_spark.curation import (  # noqa: E402
     pow2_bin_duckdb as _pow2_bin_duckdb,
     rate_expr_duckdb as _rate_expr_duckdb,
 )
+from webcrawler_spark import curation as _curation  # noqa: E402
 from webcrawler_spark import mixture as _mixture  # noqa: E402
 from webcrawler_spark.dedup import decontaminate as _decon  # noqa: E402
 from webcrawler_spark.dedup import lines as _lines  # noqa: E402
@@ -2422,6 +2434,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(n)::BIGINT AS total_tokens
             FROM n GROUP BY 1 ORDER BY 1
         """,
+        "length_quantiles": _curation.length_quantiles_duckdb(_DUCK_TOKS_LEN),
         "incremental_curation": _incremental_curation_oracle(),
         "incremental_ann": _incremental_ann_oracle(),
         "pair_curation_meta": _pair_curation_meta_oracle(),

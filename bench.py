@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "mixture_sample",
     "url_gates",
     "pagerank",
+    "length_quantiles",
 ]
 
 CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "600"))

@@ -137,3 +137,29 @@ def test_synthetic_urls_exercise_every_gate(spark, sf_dir):
         synthetic_urls(docs).filter(F.col("url").contains("/docs/"))
     )
     assert clean.filter(~F.col("keep")).count() == 0
+
+
+def test_length_quantiles_match_bruteforce(spark):
+    # type-1 quantile: smallest value whose cumulative count reaches
+    # ceil(p% of n) — checked against a literal Python implementation,
+    # including tie-heavy and single-doc strata
+    import math
+
+    from webcrawler_spark.curation import length_quantiles
+
+    rows = [(i, "a" * 0 + " ".join(["w"] * ln), lang)
+            for i, (ln, lang) in enumerate(
+                [(5, "en"), (5, "en"), (5, "en"), (9, "en"), (100, "en"),
+                 (1, "sl"), (2, "sl"), (3, "sl"), (4, "sl"),
+                 (7, "zh")])]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {(r["lang"], r["p"]): (r["n_docs"], r["q_tokens"])
+           for r in length_quantiles(df).collect()}
+    by_lang = {}
+    for _, text, lang in rows:
+        by_lang.setdefault(lang, []).append(len(text.split()))
+    for lang, lens in by_lang.items():
+        lens.sort()
+        for p in (25, 50, 75, 95):
+            rank = math.ceil(len(lens) * p / 100)
+            assert got[(lang, p)] == (len(lens), lens[rank - 1]), (lang, p)

@@ -167,6 +167,80 @@ def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def length_quantiles(
+    df: DataFrame,
+    ps: tuple[int, ...] = (25, 50, 75, 95),
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT per-stratum token-length quantiles — (lang, p, n_docs,
+    q_tokens) with q_tokens the smallest length whose cumulative count
+    reaches ceil(p% of the stratum) (type-1 / discrete quantile: pure
+    integer arithmetic, so the value is engine-portable where
+    interpolating quantiles and approx sketches are not).
+
+    Scale shape: the quantile is read off the LENGTH HISTOGRAM, not the
+    sorted corpus — one map-side-combining groupBy(stratum, len) first,
+    then the cumulative window runs over at most |distinct lengths| rows
+    per stratum (<= ~65k), not 10^9 documents through one reducer. The
+    per-p explode multiplies that small frame only."""
+    n = token_count(F.col(text_col))
+    hist = (
+        df.select(F.col(strata_col).alias("lang"), n.alias("n"))
+        .groupBy("lang", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = (
+        Window.partitionBy("lang").orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.groupBy("lang").agg(F.sum("c").cast("long").alias("n_docs"))
+    p_df = cum.sparkSession.createDataFrame([(int(p),) for p in ps], "p int")
+    # target rank = ceil(n_docs * p / 100), integers only
+    target = F.expr("(n_docs * p + 99) DIV 100")
+    return (
+        cum.join(F.broadcast(tot), "lang")
+        .crossJoin(F.broadcast(p_df))
+        .filter(F.col("cum") >= target)
+        .groupBy("lang", "p", "n_docs")
+        .agg(F.min("n").cast("int").alias("q_tokens"))
+        .orderBy("lang", "p")
+    )
+
+
+def length_quantiles_duckdb(
+    toks_len_expr: str,
+    table: str = "documents",
+    ps: tuple[int, ...] = (25, 50, 75, 95),
+    strata_expr: str = "lang",
+) -> str:
+    """Full SELECT mirroring `length_quantiles`."""
+    plist = ", ".join(f"({int(p)})" for p in ps)
+    return f"""
+        WITH lq_hist AS (
+            SELECT {strata_expr} AS lang, {toks_len_expr} AS n,
+                   count(*)::BIGINT AS c
+            FROM {table} GROUP BY 1, 2
+        ),
+        lq_cum AS (
+            SELECT lang, n, c,
+                   sum(c) OVER (PARTITION BY lang ORDER BY n
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM lq_hist
+        ),
+        lq_tot AS (SELECT lang, sum(c)::BIGINT AS n_docs FROM lq_hist GROUP BY 1),
+        lq_p (p) AS (VALUES {plist})
+        SELECT g.lang, p.p::INT AS p, t.n_docs,
+               min(g.n)::INT AS q_tokens
+        FROM lq_cum g
+        JOIN lq_tot t USING (lang)
+        CROSS JOIN lq_p p
+        WHERE g.cum >= (t.n_docs * p.p + 99) // 100
+        GROUP BY 1, 2, 3 ORDER BY 1, 2
+    """
+
+
 # ---------------------------------------------------------------------------
 # the text curation funnel
 # ---------------------------------------------------------------------------
