@@ -92,14 +92,27 @@ def synthetic_links_duckdb(n_nodes_expr: str, table: str = "documents",
 # ---------------------------------------------------------------------------
 
 def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
-             n_iter: int = 5, total: int = TOTAL_MASS) -> DataFrame:
+             n_iter: int = 5, total: int = TOTAL_MASS,
+             cache_registry: list | None = None) -> DataFrame:
     """(node, rank) after ``n_iter`` integer PageRank iterations.
     ``nodes`` has one `node` column; ``edges`` has (src, dst) with both
-    endpoints present in ``nodes``."""
+    endpoints present in ``nodes``.
+
+    Each iteration's ranks are persisted and EAGERLY materialized, then
+    the previous iteration's cache is dropped: every iteration reads its
+    predecessor 2-3 times (contribution join, dangling anti-join, next
+    update), so a lazy chain recomputes lineage EXPONENTIALLY — the
+    un-cached 5-iteration plan holds ~190 exchanges vs ~2 per iteration
+    here. This is the standard checkpoint-per-iteration shape of
+    distributed PageRank; resident cache is bounded at one rank vector.
+    The RETURNED frame stays persisted (dropping it would re-trigger the
+    blowup on collection) — pass ``cache_registry`` to unpersist it
+    after consuming."""
     base = total // n_nodes
     teleport = (15 * base) // 100
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
+    prev = None
     for _ in range(n_iter):
         contrib = (
             edges.join(ranks, edges.src == ranks.node)
@@ -125,7 +138,13 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
                     )
                 ).cast("long").alias("rank"),
             )
-        )
+        ).persist()
+        ranks.count()  # materialize so the predecessor's cache can drop
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    if cache_registry is not None and prev is not None:
+        cache_registry.append(prev)
     return ranks
 
 
