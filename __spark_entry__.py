@@ -1153,6 +1153,17 @@ def _q_pagerank(spark, sf):
     return pagerank(nodes, synthetic_links(docs, n), n).orderBy("node")
 
 
+def _q_cocitation(spark, sf):
+    # co-citation counts over the same synthetic webgraph: unordered page
+    # pairs cited together by >= 2 common sources, each source's
+    # contribution capped at its 64 smallest-dst edges first (the hub-cap
+    # that stops one 10^5-out-link page emitting 5*10^9 pairs at scale)
+    from webcrawler_spark.graph import cocitation, synthetic_links
+
+    docs = load(spark, sf, "documents")
+    return cocitation(synthetic_links(docs, docs.count()))
+
+
 def _q_resize_plan(spark, sf):
     # cover-resize + center-crop parameters onto each image's aspect
     # bucket — the narrow, UDF-free plan the Arrow decode stage consumes
@@ -1405,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "url_gates": _q_url_gates,
         "pagerank": _q_pagerank,
+        "cocitation": _q_cocitation,
         "caption_dedup": _q_caption_dedup,
         "resize_plan": _q_resize_plan,
         "gopher_quality": _q_gopher_quality,
@@ -2009,6 +2021,15 @@ def _pagerank_oracle() -> str:
     )
 
 
+def _cocitation_oracle() -> str:
+    """Mirror of _q_cocitation over the same synthetic edges."""
+    from webcrawler_spark.graph import cocitation_duckdb, synthetic_links_duckdb
+
+    return cocitation_duckdb(
+        synthetic_links_duckdb("SELECT count(*) FROM documents")
+    )
+
+
 def _aspect_batches_oracle() -> str:
     """Pure-SQL mirror of _q_aspect_batches: the synthesized w/h columns,
     cross-join argmin onto the bucket menu (identical IEEE dist, ties to
@@ -2456,6 +2477,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_gates": _url_gates_oracle(),
         "pagerank": _pagerank_oracle(),
+        "cocitation": _cocitation_oracle(),
         "caption_dedup": _caption_dedup_oracle(),
         "resize_plan": _resize_plan_oracle(),
         "gopher_quality": _gopher.gopher_oracle_sql(_pages.synthetic_pages_duckdb()),

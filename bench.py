@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "mixture_sample",
     "url_gates",
     "pagerank",
+    "cocitation",
     "length_quantiles",
 ]
 

@@ -62,3 +62,20 @@ def test_deterministic_across_partitioning(spark):
     e = spark.createDataFrame(edges, "src long, dst long").repartition(5)
     r2 = {r["node"]: r["rank"] for r in pagerank(nodes, e, 20).collect()}
     assert r1 == r2
+
+
+def test_cocitation_counts_and_hub_cap(spark):
+    from webcrawler_spark.graph import cocitation
+
+    # sources 0,1 both cite (10, 11); source 2 cites (10, 11, 12)
+    edges = [(0, 10), (0, 11), (1, 10), (1, 11), (2, 10), (2, 11), (2, 12)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["a"], r["b"]): r["n_common"] for r in cocitation(e).collect()}
+    assert got == {(10, 11): 3}  # (10,12),(11,12) have only 1 common src
+    # hub cap: with max_out=2 source 2 keeps only dsts (10, 11), so the
+    # result is unchanged; with max_out=1 every source keeps one edge and
+    # no pairs remain
+    got2 = {(r["a"], r["b"]): r["n_common"]
+            for r in cocitation(e, max_out=2).collect()}
+    assert got2 == {(10, 11): 3}
+    assert cocitation(e, max_out=1).count() == 0

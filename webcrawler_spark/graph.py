@@ -38,7 +38,7 @@ function pure.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TOTAL_MASS = 10**12
@@ -146,6 +146,65 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_nodes: int,
     if cache_registry is not None and prev is not None:
         cache_registry.append(prev)
     return ranks
+
+
+def cocitation(edges: DataFrame, min_common: int = 2,
+               max_out: int = 64) -> DataFrame:
+    """Co-citation counts — (a, b, n_common) for every unordered page
+    pair cited together by at least ``min_common`` common sources (the
+    classic link-graph similarity signal; with PageRank, the second
+    metric the reference's graph export feeds).
+
+    Skew handling is explicit: a source citing d pages contributes
+    d·(d-1)/2 pairs, so one 10^5-out-link hub page would alone emit
+    5·10^9 rows into the pair shuffle. Each source's contribution is
+    capped at its ``max_out`` smallest-dst edges FIRST (deterministic,
+    so the oracle mirrors it) — the standard hub-cap: beyond ~64
+    co-citations the pair signal is boilerplate navigation, not
+    similarity. The cap window partitions by src, whose cardinality is
+    bounded by a page's link count, never by corpus size.
+
+    Scale shape: one shuffle on src (the cap window and the self-join
+    co-partition), one map-side-combined aggregate on the (a, b) pair.
+    """
+    w = Window.partitionBy("src").orderBy("dst")
+    capped = (
+        edges.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= max_out)
+        .drop("_r")
+    )
+    left = capped.select("src", F.col("dst").alias("a"))
+    right = capped.select("src", F.col("dst").alias("b"))
+    return (
+        left.join(right, "src")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .orderBy("a", "b")
+    )
+
+
+def cocitation_duckdb(edges_cte: str, min_common: int = 2,
+                      max_out: int = 64) -> str:
+    """Full SELECT mirroring ``cocitation``."""
+    return f"""
+        WITH cc_edges AS ({edges_cte}),
+        cc_capped AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src ORDER BY dst) AS _r
+                FROM cc_edges
+            ) WHERE _r <= {max_out}
+        )
+        SELECT l.a, r.b, count(*)::BIGINT AS n_common
+        FROM (SELECT src, dst AS a FROM cc_capped) l
+        JOIN (SELECT src, dst AS b FROM cc_capped) r USING (src)
+        WHERE l.a < r.b
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_common}
+        ORDER BY 1, 2
+    """
 
 
 def pagerank_duckdb(nodes_cte: str, edges_cte: str, n_nodes_expr: str,
