@@ -788,6 +788,17 @@ def _q_token_histogram(spark, sf):
     return token_histogram(load(spark, sf, "documents"))
 
 
+def _q_bpe_pairs(spark, sf):
+    # tokenizer-training counting primitive: adjacent char-pair
+    # frequencies for BPE's first merge step, computed over the word
+    # VOCABULARY with multiplicities (one hash agg folds the corpus to
+    # vocab; the explode touches each distinct word once) — top-50 by
+    # merge score via TakeOrderedAndProject, no global sort
+    from webcrawler_spark.functions.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(load(spark, sf, "documents"))
+
+
 def _q_length_quantiles(spark, sf):
     # exact per-language token-length quantiles read off the LENGTH
     # HISTOGRAM (groupBy(lang, len) first; the cumulative window sees at
@@ -1399,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan": _q_shard_plan,
         "sequence_pack": _q_sequence_pack,
         "token_histogram": _q_token_histogram,
+        "bpe_pairs": _q_bpe_pairs,
         "length_quantiles": _q_length_quantiles,
         "incremental_curation": _q_incremental_curation,
         "pair_curation": _q_pair_curation,
@@ -1447,6 +1459,7 @@ from webcrawler_spark import curation as _curation  # noqa: E402
 from webcrawler_spark import mixture as _mixture  # noqa: E402
 from webcrawler_spark.dedup import decontaminate as _decon  # noqa: E402
 from webcrawler_spark.dedup import lines as _lines  # noqa: E402
+from webcrawler_spark.functions import bpe as _bpe  # noqa: E402
 from webcrawler_spark.functions import gopher as _gopher  # noqa: E402
 from webcrawler_spark.functions import repetition as _repetition  # noqa: E402
 from webcrawler_spark.functions import collocations as _collocations  # noqa: E402
@@ -2455,6 +2468,7 @@ def oracle_sql() -> dict[str, str]:
                    sum(n)::BIGINT AS total_tokens
             FROM n GROUP BY 1 ORDER BY 1
         """,
+        "bpe_pairs": _bpe.bpe_pair_counts_duckdb(_DUCK_TOKS.format(col="text")),
         "length_quantiles": _curation.length_quantiles_duckdb(_DUCK_TOKS_LEN),
         "incremental_curation": _incremental_curation_oracle(),
         "incremental_ann": _incremental_ann_oracle(),

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "pagerank",
     "cocitation",
     "length_quantiles",
+    "bpe_pairs",
 ]
 
 CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "600"))

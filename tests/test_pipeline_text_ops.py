@@ -486,3 +486,18 @@ def test_collocations_match_brute_force(spark):
     # 'the' appears everywhere, diluting its lift)
     ranks = {(a, b): i for i, (a, b, _, _) in enumerate(got)}
     assert ranks[("machine", "learning")] < ranks[("the", "cat")]
+
+
+def test_bpe_pair_counts_closed_form(spark):
+    # 'aaa' x3 -> pair 'aa' at 2 positions, 6 occurrences;
+    # 'ab' x2 + 'abc' -> 'ab' at 2 positions (two distinct words), 3 occ;
+    # 'abc' also yields 'bc' (1 pos, 1 occ); single chars contribute nothing
+    from webcrawler_spark.functions.bpe import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(0, "aaa aaa"), (1, "aaa ab"), (2, "ab abc x")],
+        "doc_id long, text string",
+    )
+    got = {r["pair"]: (r["n_positions"], r["n_occurrences"])
+           for r in bpe_pair_counts(df).collect()}
+    assert got == {"aa": (2, 6), "ab": (2, 3), "bc": (1, 1)}
