@@ -279,6 +279,16 @@ def _q_search(spark, sf):
     return _search(spark, postings, "table value row").drop("all_positions")
 
 
+def _q_bm25(spark, sf):
+    # BM25 ranked retrieval for the same fixed query the frequency-ranked
+    # search uses — the retrieval scorer a curation pipeline gates on
+    # (not in the reference, whose search ranks by raw frequency)
+    from webcrawler_spark.index.bm25 import bm25_scores
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return bm25_scores(d, ("table", "value", "row"))
+
+
 def _q_max_freq_word(spark, sf):
     # A8: max-frequency word per site via max_by (report stats shape —
     # 'proizvodnja' 2,266 on one site, 'slovenije' 9,105 overall;
@@ -1384,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_export": _q_graph_export,
         "vocabulary": _q_vocabulary,
         "search_scores": _q_search,
+        "bm25": _q_bm25,
         "minhash_signatures": _q_minhash_signatures,
         "simhash": _q_simhash,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1466,6 +1477,7 @@ from webcrawler_spark.functions import collocations as _collocations  # noqa: E4
 from webcrawler_spark.functions import dsir as _dsir  # noqa: E402
 from webcrawler_spark.functions import lm as _lm  # noqa: E402
 from webcrawler_spark.functions import pii as _pii  # noqa: E402
+from webcrawler_spark.index import bm25 as _bm25  # noqa: E402
 from webcrawler_spark.sources import pages as _pages  # noqa: E402
 
 # same deterministic PII injection as _q_pii_redact, in DuckDB
@@ -2299,6 +2311,7 @@ def oracle_sql() -> dict[str, str]:
             FROM postings WHERE word IN ('table', 'value', 'row')
             GROUP BY doc ORDER BY score DESC, doc ASC
         """,
+        "bm25": _bm25.bm25_oracle_sql(("table", "value", "row")),
         "minhash_signatures": _minhash.minhash_signature_sql() + " ORDER BY doc_id",
         "simhash": _simhash.simhash_oracle_sql() + " ORDER BY doc_id",
         "ngram_jaccard_pairs": _minhash.near_duplicates_oracle_sql(

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "cocitation",
     "length_quantiles",
     "bpe_pairs",
+    "bm25",
 ]
 
 CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "600"))

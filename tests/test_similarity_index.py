@@ -286,3 +286,47 @@ def test_search_indexed_matches_in_memory(spark, sf_dir, tmp_path):
     assert search_indexed_local(root, q, buckets=8) == mem
     assert svc.lookup("") == []
     assert svc.lookup("zqxjkwv_notaword") == []
+
+
+def test_bm25_matches_brute_force_twin(spark):
+    # closed-form check: tiny corpus, Python-floats twin with the SAME
+    # rounding points (6-dp ln, 6-dp contribution, 6-dp sum) as the
+    # Catalyst plan and the DuckDB oracle
+    import math
+
+    from webcrawler_spark.index.bm25 import bm25_scores
+
+    corpus = [
+        (0, "table value row table table"),
+        (1, "value of the row"),
+        (2, "nothing relevant here"),
+        (3, "table"),
+        (4, ""),
+    ]
+    terms = ("table", "value", "row")
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [(r["doc_id"], r["n_hit_terms"], r["bm25"])
+           for r in bm25_scores(df, terms).collect()]
+
+    k1, b = 1.2, 0.75
+    toks = {d: [t for t in txt.lower().split() if t] for d, txt in corpus}
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    n = len(corpus)
+    avgdl = round(sum(dl.values()) / len(dl), 6)
+    tf = {(d, t): ts.count(t) for d, ts in toks.items() for t in set(ts) if t in terms}
+    dfreq = {t: sum(1 for (_, t2) in tf if t2 == t) for t in terms}
+    idf = {t: round(math.log(1.0 + (n - c + 0.5) / (c + 0.5)), 6)
+           for t, c in dfreq.items() if c}
+    scores: dict[int, list[float]] = {}
+    for (d, t), f in tf.items():
+        c = round(idf[t] * (f * (k1 + 1))
+                  / (f + k1 * (1.0 - b + b * dl[d] / avgdl)), 6)
+        scores.setdefault(d, []).append(c)
+    want = sorted(
+        ((d, len(cs), round(sum(cs), 6)) for d, cs in scores.items()),
+        key=lambda r: (-r[2], r[0]),
+    )
+    assert got == want
+    # doc 0 (3 distinct hits incl. tf=3 'table') must outrank single-hit
+    # doc 3, and docs 2/4 (no query terms) must be absent
+    assert got[0][0] == 0 and {r[0] for r in got} == {0, 1, 3}
