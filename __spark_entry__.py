@@ -1171,7 +1171,17 @@ def _q_pagerank(spark, sf):
     docs = load(spark, sf, "documents")
     n = docs.count()
     nodes = docs.select(F.col("doc_id").alias("node"))
-    return pagerank(nodes, synthetic_links(docs, n), n).orderBy("node")
+    reg: list = []
+    ranks = pagerank(nodes, synthetic_links(docs, n), n, cache_registry=reg)
+    # sever the plan with an executor-resident checkpoint, then drop the
+    # iteration cache: the returned frame no longer references it, and
+    # localCheckpoint blocks are ContextCleaner-collected once the driver
+    # drops the frame — unlike a persist(), which the CacheManager pins
+    # for the session (bench runs 50+ queries in one session)
+    out = ranks.orderBy("node").localCheckpoint(eager=True)
+    for cached in reg:
+        cached.unpersist()
+    return out
 
 
 def _q_cocitation(spark, sf):

@@ -134,8 +134,12 @@ class NearDupIndex:
         )
         # materialize the result BEFORE appending state: the probe plan
         # reads root/bands and root/shingles, and appending first would
-        # make the lazy plan see the batch's own rows on the index side
-        out = self.spark.createDataFrame(j.collect(), schema=j.schema)
+        # make the lazy plan see the batch's own rows on the index side.
+        # localCheckpoint keeps the pinned result EXECUTOR-resident (a
+        # collect here would land a pathological hot-cluster batch's
+        # quadratic pair set on the driver); blocks are ContextCleaner-
+        # collected once the caller drops the frame
+        out = j.localCheckpoint(eager=True)
 
         nb.write.mode("append").partitionBy("band").parquet(f"{self.root}/bands")
         sh_new.write.mode("append").parquet(f"{self.root}/shingles")

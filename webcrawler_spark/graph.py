@@ -54,7 +54,14 @@ def synthetic_links(docs: DataFrame, n_nodes: int, id_col: str = "doc_id") -> Da
     per page plus a hub edge (every 3rd page links to node 0 — the
     portal every gov site links back to), self-loops dropped, duplicate
     edges collapsed. Mirrored value-for-value by
-    ``synthetic_links_duckdb``."""
+    ``synthetic_links_duckdb``.
+
+    PRECONDITION: ``doc_id`` must be dense 0..n_nodes-1 (true of the
+    testdata ``documents`` table). The modular dst formulas only land on
+    existing nodes under that assumption; with gapped ids some edges
+    would reference absent nodes and ``pagerank`` would silently drop
+    that inflow each iteration (a rank-mass leak both engines would
+    mask identically). Derive a dense index first if ids can gap."""
     u = F.col(id_col)
     n = F.lit(n_nodes)
     e1 = (u * 7 + 1) % n

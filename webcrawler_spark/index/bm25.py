@@ -14,7 +14,10 @@ Portability (the driver hash-checks scores against DuckDB):
   ``functions/lm.py`` pattern), so a last-ulp difference between the
   JVM's and DuckDB's log cannot propagate;
 * every other operation is IEEE basic arithmetic (+ - * /) written in
-  the SAME expression order on both sides, which is bit-deterministic;
+  the SAME expression order on both sides, with the non-dyadic k1/b
+  literals cast to DOUBLE in the oracle (DuckDB otherwise parses ``1.2``
+  as DECIMAL and computes ``tf * (k1+1)`` exactly, diverging from
+  Spark's double multiply by up to 1 ulp before the round);
 * ``avgdl`` is rounded to 6 dp before use, the per-term contribution is
   rounded to 6 dp before the per-doc sum, and the final sum is rounded
   to 6 dp — the per-doc sum reassociates at most |terms| ≈ 3 doubles,
@@ -115,8 +118,8 @@ def bm25_oracle_sql(
     b: float = B,
 ) -> str:
     """DuckDB mirror — identical tokenizer, idf form, rounding points, and
-    expression order (see module docstring for why that makes the doubles
-    bit-identical)."""
+    expression order, with k1/b literals cast to DOUBLE so both engines
+    perform the same double ops (see module docstring)."""
     toks = (
         f"list_filter(regexp_split_to_array(lower({text_col}), '{TOKEN_SPLIT_RE}'), "
         "t -> t <> '')"
@@ -139,8 +142,9 @@ def bm25_oracle_sql(
         ),
         contrib AS (
             SELECT tf.doc_id,
-                   round(idf * (tf * {k1 + 1!r})
-                         / (tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl / avgdl)),
+                   round(idf * (tf * {k1 + 1!r}::DOUBLE)
+                         / (tf + {k1!r}::DOUBLE
+                            * (1.0 - {b!r}::DOUBLE + {b!r}::DOUBLE * dl / avgdl)),
                    6) AS c
             FROM tf JOIN idf USING (t) JOIN dl USING (doc_id), avgdl
         )

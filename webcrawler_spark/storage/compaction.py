@@ -56,11 +56,15 @@ def compact_parquet_dir(
     path: str,
     partition_by: list[str] | None = None,
     files_per_partition: int = 1,
+    sort_within: list[str] | None = None,
 ) -> int:
     """Rewrite ``path`` with few large files per partition; returns the
     data-file count after. Contents are invariant (tested); only layout
     changes. ``partition_by`` must name the dir's existing partition
-    columns (they are re-applied to the compacted copy)."""
+    columns (they are re-applied to the compacted copy). ``sort_within``
+    re-sorts rows inside each output task so row-group min/max stats
+    keep pruning on those columns after the rewrite (the EmbeddingIndex
+    keeps ``sig`` clustered this way)."""
     tmp = path.rstrip("/") + ".__compact_tmp"
     old = path.rstrip("/") + ".__compact_old"
     if not os.path.exists(path) and os.path.exists(old):
@@ -74,8 +78,10 @@ def compact_parquet_dir(
         # partition dir (files_per_partition applies to the flat case;
         # partitioned dirs compact to the minimum)
         keys = [F.col(c) for c in partition_by]
-        (df.repartition(*keys)
-           .write.partitionBy(*partition_by).mode("overwrite").parquet(tmp))
+        out = df.repartition(*keys)
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        out.write.partitionBy(*partition_by).mode("overwrite").parquet(tmp)
     else:
         df.coalesce(max(1, files_per_partition)).write.mode(
             "overwrite").parquet(tmp)
