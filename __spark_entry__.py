@@ -1068,7 +1068,11 @@ def _q_pair_funnel(spark, sf):
     # verified end to end, not just each stage alone
     from webcrawler_spark.multimodal.funnel import pair_funnel
 
-    return pair_funnel(_synth_pair_meta(spark, sf)).orderBy("image_id")
+    # pin the synthesized metadata once: the funnel reads its input from
+    # two branches (gate flags + alignment scores), and the md5-based
+    # hash synthesis is the costlier half of the first materialization
+    pairs = _synth_pair_meta(spark, sf).localCheckpoint(eager=True)
+    return pair_funnel(pairs).orderBy("image_id")
 
 
 def _q_aspect_batches(spark, sf):

@@ -263,6 +263,38 @@ def test_connected_components_random_graph(spark):
     assert got == _brute_components(edges)
 
 
+def test_connected_components_multi_task_contraction(spark, monkeypatch):
+    """Force the n_tasks > 1 path (tiny EDGES_PER_CONTRACTION_TASK): the
+    partition-local union-find only sees slivers of each component, so
+    the star rounds must do real cross-task merging — results must equal
+    both the union-find oracle and the single-task shortcut."""
+    import random
+
+    from webcrawler_spark.dedup import cluster
+
+    rng = random.Random(13)
+    nodes = list(range(300))
+    edges = [(i, i + 1) for i in range(80)]          # long path
+    edges += [(100, j) for j in range(101, 126)]      # star hub
+    for _ in range(150):
+        a, b = rng.sample(nodes, 2)
+        edges.append((a, b))
+    df = spark.createDataFrame(edges, "a long, b long").repartition(8)
+    want = _brute_components(edges)
+
+    single = {
+        r["node"]: r["component"]
+        for r in cluster.connected_components(df).collect()
+    }
+    monkeypatch.setattr(cluster, "EDGES_PER_CONTRACTION_TASK", 16)
+    multi = {
+        r["node"]: r["component"]
+        for r in cluster.connected_components(df).collect()
+    }
+    assert single == want
+    assert multi == want
+
+
 # ---------------------------------------------------------------------------
 # incremental near-dup index (dedup/incremental.py)
 # ---------------------------------------------------------------------------

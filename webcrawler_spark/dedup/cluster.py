@@ -10,13 +10,18 @@ reference's own dedup is exact-match first-writer-wins
 (DatabaseHandler.java's content lookup); this module is the near-dup
 generalization of the same keep-one rule.
 
-Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
-Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce and
-Beyond", SoCC'14; public technique). Each round is two groupBy+join
-passes over the edge set; the edge set contracts toward a star forest
-(every node → its component's minimum id) in O(log n) rounds with high
-probability — no vertex-program framework, no driver-side graph, just
-DataFrame shuffles on node ids:
+Algorithm: partition-local union-find PRE-CONTRACTION (one Arrow pass
+that replaces each task's subgraph with its exact local star forest —
+component-preserving, see ``_local_contract``), then alternating
+large-star / small-star (Kiveris, Lattanzi, Mirrokni, Rastogi,
+Vassilvitskii — "Connected Components in MapReduce and Beyond",
+SoCC'14; public technique). Each round is two groupBy+join passes over
+the edge set; the edge set contracts toward a star forest (every node →
+its component's minimum id) in O(log n) rounds with high probability —
+no vertex-program framework, no driver-side graph, just DataFrame
+shuffles on node ids. When the whole edge set fits one contraction task
+(any fixture-scale graph), the union-find already IS the answer and the
+star loop is skipped outright:
 
   large-star(u): m = min(N(u) ∪ {u}); re-point every STRICTLY LARGER
                  neighbor v > u at m
@@ -44,10 +49,71 @@ sizes, and canonical flags value-for-value.
 
 from __future__ import annotations
 
+import math
+from typing import Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from webcrawler_spark.dedup.minhash import near_duplicates_oracle_sql
+
+# Partition-local contraction sizing: one union-find task handles up to
+# this many edges (a dict of ≤2x that many entries — comfortably inside
+# one executor task's memory). The task count is ceil(|E| / this), so a
+# fixture-sized pair set contracts in ONE task (solving the whole graph
+# before any star round), while a 100-TB edge set fans out wide.
+EDGES_PER_CONTRACTION_TASK = 2_000_000
+
+
+def _local_contract(e: DataFrame) -> DataFrame:
+    """Partition-local union-find contraction (one Arrow pass): replace
+    each partition's edge set with the star forest of its LOCAL
+    components — every member points at its component's MIN id.
+
+    Component-preserving by construction: within a partition, a
+    connected subgraph's edges are replaced by a star over the SAME
+    nodes (connectivity unchanged), and node identity is global, so the
+    union over partitions has exactly the original graph's components.
+    Output is ≤ nodes-per-partition rows; dense subgraphs (the
+    adversarial clique fixtures) collapse |E| → |V| before any star
+    round shuffles."""
+    schema = e.schema
+    u_name, v_name = schema[0].name, schema[1].name
+
+    def uf(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes: set = set()
+        for pdf in batches:
+            for a, b in zip(pdf[u_name], pdf[v_name]):
+                nodes.add(a)
+                nodes.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min: the smaller id is always the root,
+                    # so every component's root is its minimum
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        out_u, out_v = [], []
+        for x in nodes:
+            r = find(x)
+            if x != r:
+                out_u.append(x)
+                out_v.append(r)
+        yield pd.DataFrame({u_name: out_u, v_name: out_v})
+
+    return e.mapInPandas(uf, schema)
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -98,50 +164,81 @@ def connected_components(
     star converges in O(log n) rounds w.h.p. (SoCC'14 Thm 1-2); real
     near-dup graphs finish in a handful.
     """
-    # persist the (thin) edge set: the first star round references it ~4×
-    # and its upstream is typically a full LSH pipeline that must not
-    # recompute per pass; released after convergence (later rounds read
-    # only the checkpointed contraction)
-    orig = (
+    sc = edges.sparkSession.sparkContext
+
+    def _pin(df: DataFrame) -> DataFrame:
+        # materialize + sever lineage: reliable checkpoint when the
+        # context has a checkpoint dir (production), localCheckpoint
+        # otherwise — executor-resident, so block loss fails the job,
+        # never corrupts
+        return (
+            df.checkpoint(eager=True)
+            if sc.getCheckpointDir()
+            else df.localCheckpoint(eager=True)
+        )
+
+    # materialize the (thin) canonical edge set once — its upstream is
+    # typically a full LSH pipeline that must not recompute per pass —
+    # then PRE-CONTRACT with partition-local union-find before any star
+    # round: coalesce (no shuffle) to tasks of ≤ EDGES_PER_CONTRACTION_
+    # TASK edges each and solve each task's subgraph exactly. A fixture-
+    # sized graph fits ONE task, so the stars below only confirm; at
+    # scale the pass shortens chains into local stars, cutting the
+    # O(log n) round count the driver loop pays for.
+    orig = _pin(
         edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
     )
+    n_edges = orig.count()  # answered from the pinned blocks, not lineage
+    n_tasks = max(1, math.ceil(n_edges / EDGES_PER_CONTRACTION_TASK))
+    contracted = _local_contract(orig.coalesce(n_tasks))
+    if n_tasks > 1:
+        # a node whose edges straddle tasks can emit the same (or two
+        # different) star edges from each — dedup so the seed signature
+        # below keeps the loop's distinct-set xor invariant
+        contracted = contracted.distinct()
+    e = _pin(contracted)
 
-    sc = edges.sparkSession.sparkContext
-    e = orig
-    prev_sig: tuple | None = None
-    for _ in range(max_rounds):
-        e = _small_star(_large_star(e))
-        # sever lineage every round: each star pass references the edge
-        # frame ~4×, so the logical plan grows ~16× per round and is
-        # GB-sized in plan-string form by round 5 — persist() caches
-        # blocks but not the plan. Checkpointing materializes the thin
-        # edge set AND resets the plan (the standard move for iterative
-        # graph jobs). Reliable checkpoint when the context has a
-        # checkpoint dir (production); localCheckpoint otherwise —
-        # executor-resident, so block loss fails the job, never corrupts.
-        e = (
-            e.checkpoint(eager=True)
-            if sc.getCheckpointDir()
-            else e.localCheckpoint(eager=True)
-        )
-        # bit_xor: order-insensitive and overflow-free under ANSI mode
-        # (a SUM of xxhash64 values overflows int64); the edge set is
-        # distinct so XOR cancellation cannot alias two different sets
-        # except by 64-bit hash collision
-        cnt, hsh = e.agg(
+    # one contraction task saw the WHOLE edge set → its union-find output
+    # is already the exact global min-star forest; star rounds would only
+    # re-confirm it (a large+small star pass is the identity on a
+    # min-rooted star forest). Skip straight to the read-off. At scale
+    # n_tasks > 1 and the star loop runs as usual.
+    if n_tasks > 1:
+        # seed the convergence signature from the CONTRACTED set: if the
+        # first star round leaves it unchanged, the loop exits after ONE
+        # confirmation round instead of two
+        prev_cnt, prev_hsh = e.agg(
             F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
         ).first()
-        sig = (cnt, hsh)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+        prev_sig: tuple | None = (prev_cnt, prev_hsh)
+        for _ in range(max_rounds):
+            e = _small_star(_large_star(e))
+            # sever lineage every round: each star pass references the
+            # edge frame ~4×, so the logical plan grows ~16× per round
+            # and is GB-sized in plan-string form by round 5 — persist()
+            # caches blocks but not the plan. Checkpointing materializes
+            # the thin edge set AND resets the plan (the standard move
+            # for iterative graph jobs).
+            e = _pin(e)
+            # bit_xor: order-insensitive and overflow-free under ANSI
+            # mode (a SUM of xxhash64 values overflows int64); the edge
+            # set is distinct so XOR cancellation cannot alias two
+            # different sets except by 64-bit hash collision
+            cnt, hsh = e.agg(
+                F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
+            ).first()
+            sig = (cnt, hsh)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
 
     # converged star forest: e = (child, root) is a FUNCTION of child
-    # (each child points at exactly one root; the convergence signature
-    # held for two rounds, so the set is star-stable) and every node of
+    # (each child points at exactly one root — when n_tasks == 1 the
+    # single union-find solved the graph exactly; otherwise the
+    # convergence signature held across two consecutive states, so the
+    # set is star-stable) and every node of
     # the input graph appears as a child or a root. Read the mapping
     # straight off the forest — children map to their root, roots to
     # themselves — instead of rebuilding the node set from ``orig`` and
@@ -152,7 +249,6 @@ def connected_components(
         .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
         .distinct()
     )
-    orig.unpersist()  # e is checkpointed; nothing downstream reads orig
     return comp
 
 
