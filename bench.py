@@ -97,7 +97,16 @@ BENCH_QUERIES = [
     "length_quantiles",
     "bpe_pairs",
     "bm25",
+    "bpe_merges",
+    "model_quality",
 ]
+
+# previous round's recorded bench — read back so every run emits a
+# machine-readable per-query delta table (suite_vs_prev). BENCH_LOCAL.json
+# is the full-run record we maintain (the driver's BENCH_r{N}.json wrapper
+# keeps only a truncated stdout tail); every run also dumps its complete
+# output to BENCH_LAST.json for the same reason.
+PREV_BENCH = os.environ.get("SPARK_GRAFT_PREV_BENCH", "BENCH_LOCAL.json")
 
 CRAWL_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "600"))
 CRAWL_BASE = int(os.environ.get("SPARK_GRAFT_BENCH_BASE", "12"))
@@ -621,6 +630,28 @@ def main() -> None:
         "queries": times,
         "sf": os.path.basename(SF_DIR.rstrip("/")),
     }
+    # per-query delta vs the previous round's recorded bench (machine-
+    # readable regression table; negative delta = faster this round)
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), PREV_BENCH)
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as fh:
+                prev = json.load(fh).get("queries", {})
+            out["suite_vs_prev"] = {
+                "prev_file": os.path.basename(prev_path),
+                "deltas_s": {
+                    q: round(t - prev[q], 3) for q, t in times.items() if q in prev
+                },
+                "new_queries": sorted(q for q in times if q not in prev),
+                "total_prev_common_s": round(
+                    sum(prev[q] for q in times if q in prev), 2
+                ),
+                "total_now_common_s": round(
+                    sum(t for q, t in times.items() if q in prev), 2
+                ),
+            }
+        except (json.JSONDecodeError, OSError, TypeError):
+            pass
     # search latency vs the reference's published 4-140 ms indexed /
     # ~92 s manual-scan numbers (implementation-indexing/report/main.tex:105-118)
     out["search_latency"] = _phase("search_latency", _search_latency)
@@ -680,6 +711,12 @@ def main() -> None:
         }
     out["phase_walls_s"] = phase_walls
     out["total_wall_s"] = round(time.time() - t_start, 2)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LAST.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError:
+        pass
     print(json.dumps(out))
 
 
