@@ -88,7 +88,12 @@ def phash_clusters(
     bands: int = BANDS,
 ) -> DataFrame:
     """(image_id, cluster_id, cluster_size, is_canonical) for every image
-    in a near-dup pair; canonical = min image_id (keep-one election)."""
+    in a near-dup pair; canonical = min image_id (keep-one election).
+
+    UNORDERED on purpose: every consumer either joins the result
+    (pair_curation_flags — a sort would cost a range exchange the join
+    immediately destroys) or collects it into keyed structures; callers
+    that display rows should orderBy themselves."""
     pairs = phash_near_duplicates(imgs, id_col, phash_col, max_hamming, bands)
     cc = connected_components(pairs)
     sz = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -100,5 +105,4 @@ def phash_clusters(
             "cluster_size",
             (F.col("node") == F.col("component")).alias("is_canonical"),
         )
-        .orderBy("cluster_id", id_col)
     )

@@ -161,10 +161,21 @@ def char_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _train(df: DataFrame, text_col: str, n_merges: int):
-    """Run the merge loop; returns (rules list, final PERSISTED vocab
-    (word, syms, wc)) — the caller must unpersist the vocab."""
+    """Run the merge loop; returns (rules list, final vocab (word, syms,
+    wc), cache list) — the final vocab is persisted but possibly not yet
+    materialized (its predecessor, still in the cache list, feeds it);
+    the caller must unpersist everything in the cache list after its
+    first action over the vocab.
+
+    One action per round: the top-pair TakeOrdered(1) collect. The
+    rewritten vocab is persisted LAZILY — the next round's collect (or
+    the caller's first action) materializes it while its predecessor is
+    still cached, so lineage never recomputes and each round costs one
+    job instead of two (a count-to-materialize per round would double
+    the driver's action count for no added safety: the predecessor is
+    only unpersisted after the successor has been computed through)."""
     vocab = char_vocab(df, text_col).persist()
-    vocab.count()
+    prev = None
     rules: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -187,6 +198,10 @@ def _train(df: DataFrame, text_col: str, n_merges: int):
             .limit(1)
             .collect()
         )
+        # this round's collect computed (and cached) `vocab`; its
+        # predecessor can drop now
+        if prev is not None:
+            prev.unpersist()
         if not top:
             break
         a, b, n = top[0]["lhs"], top[0]["rhs"], int(top[0]["n"])
@@ -194,10 +209,10 @@ def _train(df: DataFrame, text_col: str, n_merges: int):
         nxt = vocab.select(
             "word", _merge_fold_expr(a, b).alias("syms"), "wc"
         ).persist()
-        nxt.count()
-        vocab.unpersist()
+        prev = vocab
         vocab = nxt
-    return rules, vocab
+    caches = [vocab] if prev is None else [vocab, prev]
+    return rules, vocab, caches
 
 
 def bpe_merges(df: DataFrame, text_col: str = "text",
@@ -206,8 +221,9 @@ def bpe_merges(df: DataFrame, text_col: str = "text",
     ordered rule list (merge_rank, lhs, rhs, merged, n_occurrences).
     Stops early if the vocab runs out of pairs."""
     spark = df.sparkSession
-    rules, vocab = _train(df, text_col, n_merges)
-    vocab.unpersist()
+    rules, _vocab, caches = _train(df, text_col, n_merges)
+    for c in caches:
+        c.unpersist()
     return spark.createDataFrame(
         rules,
         "merge_rank int, lhs string, rhs string, merged string, "
@@ -228,7 +244,7 @@ def bpe_segment(df: DataFrame, text_col: str = "text",
     themselves and are not listed. The result is localCheckpoint-severed
     so the caller holds no lineage over the unpersisted loop state
     (graph.pagerank's pattern)."""
-    _rules, vocab = _train(df, text_col, n_merges)
+    _rules, vocab, caches = _train(df, text_col, n_merges)
     res = (
         vocab.select(
             "word",
@@ -240,7 +256,8 @@ def bpe_segment(df: DataFrame, text_col: str = "text",
         .limit(k)
         .localCheckpoint(eager=True)
     )
-    vocab.unpersist()
+    for c in caches:
+        c.unpersist()
     return res
 
 
