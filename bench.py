@@ -341,15 +341,17 @@ def _kernel_scaling(trials: int = 3, max_extra: int = 3) -> dict:
             "best_within_window_efficiency": max(per_trial)}
 
 
-def _kernel_skew(uniform_high_wall: float) -> dict:
-    """Adversarial-skew robustness, one run at SCALE_HI on the hot-host /
+def _kernel_skew(uniform_high_wall: float, trials: int = 2) -> dict:
+    """Adversarial-skew robustness at SCALE_HI on the hot-host /
     hot-fingerprint twin inputs (same row counts as the scaling job):
     half of all candidate links on ONE domain, all duplicate texts
     sharing ONE fingerprint (an n/4-row hot key). The comparison against
     the same window's uniform 16-core wall is the north_rule's "explicit
     skew handling for hot domains" made measurable: admission keys on
     full url (hash-uniform even when one host dominates), the hot fp is
-    absorbed by partial aggregation, and AQE splits the skewed join."""
+    absorbed by partial aggregation, and AQE splits the skewed join.
+    Best-of-``trials`` (same rationale as _kernel_scaling: single trials
+    swing with host contention, and this ratio is evidence, not noise)."""
     from webcrawler_spark.crawl.kernel import (
         build_seen_sidecar, materialize_round_inputs, run_round_kernel)
 
@@ -364,14 +366,19 @@ def _kernel_skew(uniform_high_wall: float) -> dict:
     sidecar = build_seen_sidecar(
         spark, KERNEL_N // 2,
         path=f"{_kernel_inputs_root()}_sidecar_s32", n_shards=32)
-    t0 = time.time()
-    r = run_round_kernel(spark, KERNEL_N, KERNEL_N // 2, KERNEL_N // 4,
-                         sidecar=sidecar, input_root=root)
-    wall = round(time.time() - t0, 2)
+    walls = []
+    r = {}
+    for _ in range(trials):
+        t0 = time.time()
+        r = run_round_kernel(spark, KERNEL_N, KERNEL_N // 2, KERNEL_N // 4,
+                             sidecar=sidecar, input_root=root)
+        walls.append(round(time.time() - t0, 2))
+    wall = min(walls)
     spark.stop()
     return {
         "cores": SCALE_HI,
         "wall_s": wall,
+        "trial_walls": walls,
         "urls_per_sec": round(KERNEL_N / wall, 1),
         "uniform_wall_s": uniform_high_wall,
         "skew_over_uniform": round(wall / uniform_high_wall, 3),
