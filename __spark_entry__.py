@@ -1072,7 +1072,19 @@ def _q_pair_funnel(spark, sf):
     # two branches (gate flags + alignment scores), and the md5-based
     # hash synthesis is the costlier half of the first materialization
     pairs = _synth_pair_meta(spark, sf).localCheckpoint(eager=True)
-    return pair_funnel(pairs).orderBy("image_id")
+    # pagerank's cache-lifecycle pattern (__spark_entry__._q_pagerank):
+    # sever the result with an executor-resident checkpoint, then drop
+    # the funnel's two internal persists so nothing stays CacheManager-
+    # pinned across the bench session's 50+ queries
+    reg: list = []
+    out = (
+        pair_funnel(pairs, cache_registry=reg)
+        .orderBy("image_id")
+        .localCheckpoint(eager=True)
+    )
+    for cached in reg:
+        cached.unpersist()
+    return out
 
 
 def _q_aspect_batches(spark, sf):
@@ -1406,6 +1418,20 @@ def _q_bpe_segment(spark, sf):
     return bpe_segment(load(spark, sf, "documents"), n_merges=12, k=100)
 
 
+def _q_bpe_encode(spark, sf):
+    # the full corpus encode under the trained merges: segmented-vocab
+    # broadcast join back to every token — per-doc BPE token counts plus
+    # the first-8 symbol ids (ids = lexicographic rank in the ≤|alphabet|
+    # + n_merges symbol inventory). Proves the vocab-join encode claim
+    # end to end, with a conservation test (segment chars = word chars)
+    # in tests/test_bpe_model_quality.py.
+    from webcrawler_spark.functions.bpe import bpe_encode
+
+    return bpe_encode(
+        load(spark, sf, "documents"), n_merges=12, first_k=8
+    ).orderBy("doc_id")
+
+
 def _q_model_quality(spark, sf):
     # fastText-shaped learned quality filter: hashed unigram+bigram
     # features (same hasher as DSIR) x a broadcast weight vector; gate on
@@ -1415,6 +1441,50 @@ def _q_model_quality(spark, sf):
 
     d = load(spark, sf, "documents").select("doc_id", "text")
     return model_quality_scores(d).orderBy("doc_id")
+
+
+def _trained_labels(spark, sf):
+    # weak-supervision labels from the stack's OWN gates (the GPT-3
+    # WebText-discriminator / CCNet-fastText pattern): positive = the
+    # doc's derived page passes the Gopher gates AND the doc passes the
+    # CCNet-style LM-quality gate; negative = the complement. 78.6%
+    # positive at sf0.01 — non-vacuous both ways.
+    from webcrawler_spark.functions.gopher import gopher_signals
+    from webcrawler_spark.functions.lm import unigram_scores
+    from webcrawler_spark.sources.pages import N_PAGES, synthetic_pages
+
+    docs = load(spark, sf, "documents")
+    d = docs.select("doc_id", "text")
+    g = gopher_signals(synthetic_pages(docs)).select("page_id", "keep_gopher")
+    lm = unigram_scores(d).select("doc_id", "keep_lm")
+    return (
+        d.select("doc_id")
+        .join(lm, "doc_id")
+        .withColumn("page_id", (F.col("doc_id") % N_PAGES).cast("int"))
+        .join(g, "page_id")
+        .select(
+            "doc_id",
+            (F.col("keep_gopher") & F.col("keep_lm")).cast("int").alias("y"),
+        )
+    )
+
+
+def _q_model_quality_trained(spark, sf):
+    # the CLOSED model seam: train the fastText-shaped filter in-Spark on
+    # the weak labels above (N full-batch gradient rounds, each one
+    # broadcast join + one map-combined aggregate + one aggregate-sized
+    # collect — the pagerank/bpe bounded-loop shape), then score the
+    # corpus through the UNCHANGED model_quality_scores seam. The oracle
+    # replays the entire training loop as an unrolled CTE chain, so the
+    # driver verifies training, not just scoring.
+    from webcrawler_spark.functions.model_quality import (
+        model_quality_scores,
+        train_quality_model,
+    )
+
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    weights, bias = train_quality_model(d, _trained_labels(spark, sf))
+    return model_quality_scores(d, weights=weights, bias=bias).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1428,7 +1498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- newest operators (round 3-4 additions), oracle-green ---
         "bpe_merges": _q_bpe_merges,
         "bpe_segment": _q_bpe_segment,
+        "bpe_encode": _q_bpe_encode,
         "model_quality": _q_model_quality,
+        "model_quality_trained": _q_model_quality_trained,
         "pagerank": _q_pagerank,
         "cocitation": _q_cocitation,
         "pair_funnel": _q_pair_funnel,
@@ -2549,7 +2621,24 @@ def oracle_sql() -> dict[str, str]:
         "bpe_segment": _bpe.bpe_segment_duckdb(
             _DUCK_TOKS.format(col="text"), n_merges=12, k=100
         ),
+        "bpe_encode": _bpe.bpe_encode_duckdb(
+            _DUCK_TOKS.format(col="text"), n_merges=12, first_k=8
+        ),
         "model_quality": _model_quality.model_quality_oracle_sql(),
+        "model_quality_trained": _model_quality.trained_quality_oracle_sql(
+            labels_cte=f"""
+                SELECT d.doc_id,
+                       CASE WHEN g.keep_gopher AND l.keep_lm
+                            THEN 1 ELSE 0 END AS y
+                FROM documents d
+                JOIN (SELECT page_id, keep_gopher FROM (
+                    {_gopher.gopher_oracle_sql(_pages.synthetic_pages_duckdb())}
+                )) g ON g.page_id = d.doc_id % {_pages.N_PAGES}
+                JOIN (SELECT doc_id, keep_lm FROM (
+                    {_lm.unigram_scores_oracle_sql('SELECT doc_id, text FROM documents')}
+                )) l ON l.doc_id = d.doc_id
+            """
+        ),
         "length_quantiles": _curation.length_quantiles_duckdb(_DUCK_TOKS_LEN),
         "incremental_curation": _incremental_curation_oracle(),
         "incremental_ann": _incremental_ann_oracle(),

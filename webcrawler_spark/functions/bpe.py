@@ -26,7 +26,7 @@ collation agree).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -126,6 +126,27 @@ def bpe_pair_counts_duckdb(toks_expr: str, table: str = "documents",
 
 _ALNUM_RE = __import__("re").compile(r"^[a-z0-9]+$")
 
+# The loop issues ONE driver action (a TakeOrdered(1) collect) per merge
+# round — correct and bounded, but linear in n_merges. A production 50k-
+# merge vocab wants batched rule selection first: take the top-M pairs
+# per round, keep the non-overlapping subset (no pair sharing a symbol
+# with a higher-ranked pick — those are the only ones whose counts the
+# earlier merges can invalidate), and apply them in one rewrite, cutting
+# driver round-trips by ~M×. Until that lands, the trainer refuses
+# n_merges beyond this bound rather than silently issuing thousands of
+# sequential driver actions.
+MAX_MERGES = 256
+
+
+def _check_n_merges(n_merges: int) -> None:
+    if not 1 <= n_merges <= MAX_MERGES:
+        raise ValueError(
+            f"n_merges={n_merges} outside [1, {MAX_MERGES}]: the merge "
+            "loop issues one driver action per round; batched top-M rule "
+            "selection (see MAX_MERGES note) is the scale path for "
+            "larger vocabularies"
+        )
+
 
 def _merge_fold_expr(a: str, b: str):
     """Narrow Catalyst fold applying merge (a,b) -> ab to a `syms` array,
@@ -174,6 +195,7 @@ def _train(df: DataFrame, text_col: str, n_merges: int):
     job instead of two (a count-to-materialize per round would double
     the driver's action count for no added safety: the predecessor is
     only unpersisted after the successor has been computed through)."""
+    _check_n_merges(n_merges)
     vocab = char_vocab(df, text_col).persist()
     prev = None
     rules: list[tuple[int, str, str, str, int]] = []
@@ -261,6 +283,95 @@ def bpe_segment(df: DataFrame, text_col: str = "text",
     return res
 
 
+def bpe_encode(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", n_merges: int = 12,
+               first_k: int = 8) -> DataFrame:
+    """Corpus-level BPE ENCODE — every document to token ids under the
+    trained merges: (doc_id, n_words, n_tokens_bpe, first_ids), where
+    ``first_ids`` is the doc's first ``first_k`` symbol ids
+    space-joined (ids = 1-based lexicographic rank of the symbol in the
+    final symbol inventory).
+
+    This is the 100 TB encode path the bpe_segment docstring claims,
+    landed end to end: the loop's final vocab IS every distinct word's
+    segmentation, the symbol inventory is at most |alphabet| + n_merges
+    rows (each merge mints one symbol — broadcast-sized by construction,
+    so its global rank window is a ~50-row sort, not a corpus sort), and
+    the corpus pass is one tokenize-explode + one join against the
+    segmented vocab + one groupBy(doc). Per-token cost never touches
+    corpus-sized state."""
+    spark = df.sparkSession
+    _rules, vocab, caches = _train(df, text_col, n_merges)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    # single-char words never train (no pairs) — they segment to
+    # themselves; add them so every corpus token encodes
+    singles = (
+        toks.select("word").filter(F.length("word") == 1).distinct()
+        .select("word", F.array("word").alias("syms"))
+    )
+    vocab_full = vocab.select("word", "syms").unionByName(singles)
+    symtab = (
+        vocab_full.select(F.explode("syms").alias("sym")).distinct()
+        .withColumn(
+            "sym_id",
+            F.row_number().over(Window.orderBy("sym")).cast("long"),
+        )
+    )
+    wseg = (
+        vocab_full.select("word", F.posexplode("syms").alias("i", "sym"))
+        .join(F.broadcast(symtab), "sym")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "sym_id"))),
+                lambda s: s["sym_id"],
+            ).alias("ids")
+        )
+    )
+    enc = (
+        toks.join(wseg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.size("ids")).cast("long").alias("n_tokens_bpe"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "ids"))
+                            ),
+                            lambda s: s["ids"],
+                        )
+                    ),
+                    1,
+                    first_k,
+                ),
+            ).alias("first_ids"),
+        )
+    )
+    res = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(enc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+            F.coalesce(F.col("n_tokens_bpe"), F.lit(0)).alias(
+                "n_tokens_bpe"
+            ),
+            F.coalesce(F.col("first_ids"), F.lit("")).alias("first_ids"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for c in caches:
+        c.unpersist()
+    return res
+
+
 def _merge_cte_chain(toks_expr: str, table: str, n_merges: int) -> list[str]:
     """The unrolled merge loop as a CTE list: round r = b{r} (top pair by
     count DESC, lhs, rhs) + a window-parity rewrite v{r} of v{r-1} (see
@@ -335,6 +446,59 @@ def bpe_merges_duckdb(toks_expr: str, table: str = "documents",
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT merge_rank::INT AS merge_rank, lhs, rhs, merged, "
               f"n_occurrences FROM ({union}) ORDER BY merge_rank")
+
+
+def bpe_encode_duckdb(toks_expr: str, table: str = "documents",
+                      id_col: str = "doc_id", n_merges: int = 12,
+                      first_k: int = 8) -> str:
+    """DuckDB mirror of ``bpe_encode``: the chain's final vocab v{n}
+    (plus trivially-segmented single-char words) joined back to every
+    corpus token in document order; symbol ids by lexicographic
+    row_number (ASCII-alnum symbols — binary order and DuckDB collation
+    agree, as in the merge tie-break)."""
+    ctes = _merge_cte_chain(toks_expr, table, n_merges)
+    return ("WITH " + ",\n".join(ctes) + f""",
+        dtok AS (
+            SELECT {id_col} AS doc_id, i AS pos, t[i] AS word
+            FROM (SELECT {id_col}, {toks_expr} AS t,
+                         unnest(range(1, len({toks_expr}) + 1)) AS i
+                  FROM {table})
+        ),
+        vocab_full AS (
+            SELECT word, syms FROM v{n_merges}
+            UNION ALL
+            SELECT word, [word] AS syms
+            FROM (SELECT DISTINCT word FROM dtok WHERE len(word) = 1)
+        ),
+        symtab AS (
+            SELECT sym, row_number() OVER (ORDER BY sym)::BIGINT AS sym_id
+            FROM (SELECT DISTINCT unnest(syms) AS sym FROM vocab_full)
+        ),
+        wseg AS (
+            SELECT word, list(sym_id ORDER BY i) AS ids
+            FROM (
+                SELECT word, i, syms[i] AS sym
+                FROM (SELECT word, syms,
+                             unnest(range(1, len(syms) + 1)) AS i
+                      FROM vocab_full)
+            ) JOIN symtab USING (sym)
+            GROUP BY word
+        ),
+        enc AS (
+            SELECT doc_id, count(*)::BIGINT AS n_words,
+                   sum(len(ids))::BIGINT AS n_tokens_bpe,
+                   array_to_string(
+                       flatten(list(ids ORDER BY pos))[1:{first_k}], ' '
+                   ) AS first_ids
+            FROM dtok JOIN wseg USING (word)
+            GROUP BY doc_id
+        )
+        SELECT d.{id_col} AS doc_id,
+               coalesce(e.n_words, 0)::BIGINT AS n_words,
+               coalesce(e.n_tokens_bpe, 0)::BIGINT AS n_tokens_bpe,
+               coalesce(e.first_ids, '') AS first_ids
+        FROM {table} d LEFT JOIN enc e ON e.doc_id = d.{id_col}
+        ORDER BY doc_id""")
 
 
 def bpe_segment_duckdb(toks_expr: str, table: str = "documents",

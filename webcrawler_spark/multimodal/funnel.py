@@ -42,6 +42,7 @@ def pair_funnel(
     dims: int = DIMS,
     batch_size: int = 8,
     shards: int = 4,
+    cache_registry: list | None = None,
     **gate_kw,
 ) -> DataFrame:
     """One row per input pair: (image_id, align_score, aligned,
@@ -54,11 +55,14 @@ def pair_funnel(
     their standalone driver queries); dedup and packing see survivors
     only.
 
-    Cache lifecycle: two intermediate frames persist() (see inline
-    comments). A one-shot pipeline lets session teardown reclaim them; a
-    long-running service should unpersist after materializing the result
-    (blocks are MEMORY_AND_DISK and LRU-evictable, so correctness never
-    depends on them)."""
+    Cache lifecycle (graph.pagerank's pattern): two intermediate frames
+    persist() at genuine multi-consumer barriers (see inline comments).
+    Pass ``cache_registry`` (a list) to receive them; a long-running
+    service materializes (or localCheckpoint-severs) the result, then
+    unpersists every registered frame so nothing stays CacheManager-
+    pinned for the session. Without a registry, session teardown
+    reclaims them (blocks are MEMORY_AND_DISK and LRU-evictable, so
+    correctness never depends on them)."""
     fl = pair_curation_flags(pairs, **gate_kw).withColumnRenamed(
         "keep", "neardup_keep"
     )
@@ -78,6 +82,8 @@ def pair_funnel(
     # The frame is narrow (id + booleans + one double + w/h/caption), the
     # shape a production pipeline would materialize to a table anyway.
     staged = scored.join(fl, "image_id").persist()
+    if cache_registry is not None:
+        cache_registry.append(staged)
     s1 = staged.filter(F.col("aligned") & F.col("neardup_keep"))
     winners = caption_dedup(
         s1.select("image_id", "w", "h", "caption"), shards=shards
@@ -85,6 +91,8 @@ def pair_funnel(
     # same reasoning: surv feeds both the packing input and the n_dup
     # carry — one persist instead of running the dedup election twice
     surv = s1.join(winners, "image_id", "inner").persist()
+    if cache_registry is not None:
+        cache_registry.append(surv)
     plan = aspect_bucket_batches(
         surv.select("image_id", "w", "h"), batch_size=batch_size, shards=shards
     )
