@@ -964,6 +964,42 @@ def _q_image_quality(spark, sf):
     return out
 
 
+def _q_audio_quality(spark, sf):
+    # REAL RIFF/WAVE PCM decode (pure-stdlib chunk walker — the one audio
+    # container needing no codec library) + screening gates (duration /
+    # RMS loudness / clip fraction / silence fraction) over a
+    # deterministic synthesized WAV corpus mixing widths, channel counts
+    # and degenerate kinds so every gate fires both ways — rows-only (no
+    # SQL oracle can parse PCM); semantics pinned by tests/test_audio.py
+    # against an independent stdlib-`wave` + numpy recompute twin
+    from webcrawler_spark.multimodal.av import (
+        synth_wav,
+        wav_quality_gates,
+        wav_quality_stats,
+    )
+
+    kinds = ["tone", "silence", "clipped", "noise"]
+    clips = [
+        (
+            f"clip{i:03d}",
+            synth_wav(
+                i,
+                seconds=0.05 if i % 16 == 9 else 0.3 + (i % 4) * 0.2,
+                rate=8000 if i % 2 == 0 else 16000,
+                channels=1 + (i % 3 == 2),
+                bits=8 if i % 5 == 3 else 16,
+                kind=kinds[i % 4],
+            ),
+        )
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(clips, "clip_id string, bytes binary")
+    return (
+        wav_quality_gates(wav_quality_stats(df))
+        .orderBy("clip_id")
+    )
+
+
 def _wds_synth_pairs(spark, sf):
     """Non-null-caption synth pairs with a deterministic SQL-computable
     image byte length (54-byte-header 24-bit raw bitmap: 54 + 3*w*h) —
@@ -1582,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_pairs": _q_image_caption_pairs,
         "image_phash_neardup": _q_image_phash_neardup,
         "image_quality": _q_image_quality,
+        "audio_quality": _q_audio_quality,
         "pair_curation": _q_pair_curation,
     }
 

@@ -1,14 +1,23 @@
 """Audio/video multimodal plumbing — opaque binary columns + typed
 metadata, with the Spark-side contract (schema, Arrow batch shape,
-partition sizing) fully real and the codec layer stubbed.
+partition sizing) fully real.
 
-Per the build brief: real audio/video codec libraries are not in this
-container, so decode is either (a) the deterministic WCAU fake codec
-below — a seeded PCM generator whose bytes round-trip, so the whole
-pipeline is testable end-to-end — or (b) ``NotImplementedError`` for
-real container formats (mp3/mp4/...), clearly marking the swap point.
-A production deployment replaces ``decode_audio``/``sample_frames``
-bodies with ffmpeg/torchaudio calls; nothing else changes.
+Audio is decoded FOR REAL for the one container that needs no codec
+library: RIFF/WAVE PCM (the canonical interchange format; spec is the
+public Microsoft/IBM RIFF WAVE format) — ``parse_wav`` below is a
+pure-stdlib chunk walker supporting PCM (format tag 1) at 8/16 bits,
+mono or multi-channel. ``wav_quality`` computes the screening features
+an audio training pipeline gates on (duration/rate/channels, RMS
+loudness, clip fraction, silence fraction — the multimodal/quality.py
+pattern for the audio axis), vectorized per clip inside one Arrow
+``mapInPandas`` stage.
+
+Compressed formats (mp3/ogg/flac) and all video containers still raise
+``NotImplementedError`` — those genuinely need codec libraries absent
+from this container; the deterministic WCAU/WCVI fake codecs keep the
+downstream plumbing testable end-to-end, and a production deployment
+swaps ``decode_audio``/``decode_video`` bodies for ffmpeg/torchaudio
+without touching anything else.
 """
 
 from __future__ import annotations
@@ -22,6 +31,7 @@ from pyspark.sql import DataFrame
 
 AUDIO_MAGIC = b"WCAU"
 VIDEO_MAGIC = b"WCVI"
+RIFF_MAGIC = b"RIFF"
 
 
 # ---------------------------------------------------------------------------
@@ -33,15 +43,69 @@ def encode_audio_fake(samples: np.ndarray, sample_rate: int) -> bytes:
     return AUDIO_MAGIC + struct.pack("<II", sample_rate, len(samples)) + samples.tobytes()
 
 
+def parse_wav(data: bytes) -> tuple[np.ndarray, int, int]:
+    """REAL RIFF/WAVE PCM decode, pure stdlib: → (int16 samples shaped
+    (n_frames, n_channels), sample_rate, source bits_per_sample).
+
+    Walks the RIFF chunk list (chunks are (4-byte id, LE uint32 size,
+    payload padded to even length)); requires a ``fmt `` chunk with
+    format tag 1 (integer PCM) at 8 or 16 bits before ``data``. 8-bit
+    WAV is unsigned by spec — samples are centered and scaled to int16
+    ((x − 128) << 8) so downstream math is width-independent."""
+    if data[:4] != RIFF_MAGIC or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, end = 12, min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+    fmt = None
+    while pos + 8 <= end:
+        cid, size = data[pos:pos + 4], struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            break  # truncated chunk → "no data chunk" below
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("malformed fmt chunk")
+            tag, ch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if tag != 1:
+                raise NotImplementedError(
+                    f"WAVE format tag {tag} (non-PCM) needs a codec "
+                    "library; only integer PCM decodes here"
+                )
+            if bits not in (8, 16):
+                raise NotImplementedError(f"{bits}-bit PCM unsupported")
+            fmt = (ch, rate, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAVE data chunk before fmt chunk")
+            ch, rate, bits = fmt
+            if bits == 16:
+                flat = np.frombuffer(body[:len(body) - len(body) % (2 * ch)],
+                                     dtype="<i2").astype(np.int16)
+            else:
+                raw = np.frombuffer(body[:len(body) - len(body) % ch],
+                                    dtype=np.uint8)
+                flat = ((raw.astype(np.int16) - 128) << 8).astype(np.int16)
+            return flat.reshape(-1, ch), rate, bits
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    raise ValueError("WAVE stream has no data chunk")
+
+
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    """→ (int16 mono samples, sample_rate). Real formats raise —
-    the clearly-marked production swap point."""
+    """→ (int16 mono samples, sample_rate). WAV decodes for real (multi-
+    channel downmixed by integer mean); compressed formats raise — the
+    clearly-marked production swap point."""
     if data[:4] == AUDIO_MAGIC:
         rate, n = struct.unpack("<II", data[4:12])
         return np.frombuffer(data[12:12 + 2 * n], dtype=np.int16), rate
+    if data[:4] == RIFF_MAGIC:
+        frames, rate, _bits = parse_wav(data)
+        if frames.shape[1] == 1:
+            return frames[:, 0], rate
+        # deterministic integer downmix (floor of the channel mean)
+        return (frames.astype(np.int32).sum(axis=1)
+                // frames.shape[1]).astype(np.int16), rate
     raise NotImplementedError(
-        "real audio codecs (mp3/ogg/flac) unavailable in this container; "
-        "swap decode_audio with ffmpeg/torchaudio in production"
+        "compressed audio codecs (mp3/ogg/flac) unavailable in this "
+        "container; swap decode_audio with ffmpeg/torchaudio in production"
     )
 
 
@@ -68,6 +132,117 @@ def synth_audio(seed: int, seconds: float = 1.0, rate: int = 8000) -> bytes:
     f = float(rng.uniform(100, 1000))
     wave = (np.sin(2 * np.pi * f * t) * 12000).astype(np.int16)
     return encode_audio_fake(wave, rate)
+
+
+def synth_wav(
+    seed: int,
+    seconds: float = 0.5,
+    rate: int = 8000,
+    channels: int = 1,
+    bits: int = 16,
+    kind: str = "tone",
+) -> bytes:
+    """Deterministic REAL WAV bytes via the stdlib ``wave`` writer —
+    intentionally a different code path from ``parse_wav``'s manual chunk
+    walker, so encode/decode don't share bugs. ``kind``: 'tone' (sine +
+    harmonic), 'silence', 'clipped' (square wave at full scale), 'noise'
+    (seeded LCG)."""
+    import io
+    import wave
+
+    n = int(seconds * rate)
+    t = np.arange(n) / rate
+    f = 100.0 + (seed * 37) % 900
+    if kind == "tone":
+        x = 0.5 * np.sin(2 * np.pi * f * t) + 0.2 * np.sin(4 * np.pi * f * t)
+    elif kind == "silence":
+        x = np.zeros(n)
+    elif kind == "clipped":
+        x = np.sign(np.sin(2 * np.pi * f * t)) * 0.9999
+    elif kind == "noise":
+        lcg = (seed * 1103515245 + 12345 + np.arange(n) * 69069) % (2**31)
+        x = (lcg / 2**30) - 1.0
+    else:
+        raise ValueError(kind)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(bits // 8)
+        wf.setframerate(rate)
+        if bits == 16:
+            mono = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+            frames = np.repeat(mono[:, None], channels, axis=1)
+            wf.writeframes(frames.tobytes())
+        else:
+            mono = np.clip(x * 127.0 + 128.0, 0, 255).astype(np.uint8)
+            frames = np.repeat(mono[:, None], channels, axis=1)
+            wf.writeframes(frames.tobytes())
+    return buf.getvalue()
+
+
+# audio screening gates (the multimodal/quality.py pattern): bounds a
+# speech/audio-caption pipeline typically enforces before pairing
+MIN_DURATION_S = 0.2
+MAX_DURATION_S = 30.0
+MIN_RMS = 0.01          # below = effectively silent recording
+MAX_CLIP_FRAC = 0.05    # above = hard-clipped/distorted
+MAX_SILENCE_FRAC = 0.5  # above = mostly dead air
+
+WAV_STATS_SCHEMA = (
+    "clip_id string, sample_rate int, channels int, bits int, "
+    "duration_s double, rms double, clip_frac double, silence_frac double"
+)
+
+
+def wav_stats(samples: np.ndarray, rate: int, bits: int
+              ) -> tuple[int, int, int, float, float, float, float]:
+    """Per-clip features over (n, ch) int16 frames — pure numpy, shared
+    by the Spark stage and the tests' independent recompute twin."""
+    x = samples.astype(np.float64) / 32768.0
+    return (
+        int(rate),
+        int(samples.shape[1]),
+        int(bits),
+        round(samples.shape[0] / rate, 6),
+        round(float(np.sqrt(np.mean(x ** 2))), 6),
+        round(float((np.abs(x) >= 0.99).mean()), 6),
+        round(float((np.abs(x) <= 0.001).mean()), 6),
+    )
+
+
+def wav_quality_stats(audio: DataFrame) -> DataFrame:
+    """One Arrow stage: (clip_id, bytes[WAV]) → per-clip features."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [wav_stats(*parse_wav(bytes(b))) for b in pdf["bytes"]]
+            yield pd.DataFrame(
+                [(cid, *r) for cid, r in zip(pdf["clip_id"], rows)],
+                columns=["clip_id", "sample_rate", "channels", "bits",
+                         "duration_s", "rms", "clip_frac", "silence_frac"],
+            )
+
+    return audio.select("clip_id", "bytes").mapInPandas(
+        stats, schema=WAV_STATS_SCHEMA
+    )
+
+
+def wav_quality_gates(stats: DataFrame) -> DataFrame:
+    """Narrow boolean gates over the stats frame (no byte re-touch)."""
+    from pyspark.sql import functions as F
+
+    return stats.select(
+        "*",
+        (~F.col("duration_s").between(MIN_DURATION_S, MAX_DURATION_S))
+        .alias("is_bad_duration"),
+        (F.col("rms") < MIN_RMS).alias("is_silent"),
+        (F.col("clip_frac") > MAX_CLIP_FRAC).alias("is_clipped"),
+        (F.col("silence_frac") > MAX_SILENCE_FRAC).alias("is_dead_air"),
+    ).withColumn(
+        "keep_audio",
+        ~F.col("is_bad_duration") & ~F.col("is_silent")
+        & ~F.col("is_clipped") & ~F.col("is_dead_air"),
+    )
 
 
 def synth_video(seed: int, frames: int = 16, h: int = 24, w: int = 32, fps: int = 8) -> bytes:
