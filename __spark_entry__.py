@@ -431,7 +431,8 @@ def _q_embedding_neardup_lsh(spark, sf):
 
 def _q_semantic_dedup(spark, sf):
     # SemDeDup (Abbas et al. 2023): coarse-quantize the embedding space
-    # (same seedless centroids as ivf_topk), then drop every vector
+    # (the seedless lowest-id centroids ivf_topk uses as its k-means
+    # INIT — dedup cares about cell locality, not recall), then drop every vector
     # within cos 0.32 of a lower-id cell-mate — all-pairs work never
     # leaves a cell, which is what makes the method web-scale
     from webcrawler_spark.dedup.semantic import semantic_dedup
@@ -447,12 +448,15 @@ def _q_ann_topk(spark, sf):
 
 
 def _q_ivf_topk(spark, sf):
-    # IVF-flat ANN scale path: deterministic sampled centroids (lowest-id
-    # vectors), nearest-cell assignment, nprobe=2 cell search — the
-    # second bucketed ANN family next to sign-LSH (similarity/ann.py)
+    # IVF-flat ANN scale path with a TRAINED coarse quantizer: 3
+    # deterministic Lloyd rounds (broadcast centroids, round-before-
+    # argmin assignment, 6-dp per-cell means) from the lowest-id init,
+    # then nearest-cell assignment + nprobe=2 cell search. The oracle
+    # replays the Lloyd rounds as an unrolled CTE chain, so the k-means
+    # training itself is driver-verified (similarity/ann.py)
     vecs = load(spark, sf, "embeddings")
     queries = vecs.filter(F.col("vec_id") < 3)
-    return ivf_topk(vecs, queries, k=5, n_cells=8, nprobe=2)
+    return ivf_topk(vecs, queries, k=5, n_cells=8, nprobe=2, lloyd_rounds=3)
 
 
 def _q_incremental_ann(spark, sf):
@@ -1648,6 +1652,7 @@ from webcrawler_spark.functions import lm as _lm  # noqa: E402
 from webcrawler_spark.functions import model_quality as _model_quality  # noqa: E402
 from webcrawler_spark.functions import pii as _pii  # noqa: E402
 from webcrawler_spark.index import bm25 as _bm25  # noqa: E402
+from webcrawler_spark.similarity import ann as _ann  # noqa: E402
 from webcrawler_spark.sources import pages as _pages  # noqa: E402
 
 # same deterministic PII injection as _q_pii_redact, in DuckDB
@@ -2526,36 +2531,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM ranked
             WHERE rank <= 5 ORDER BY query_id, rank
         """,
-        "ivf_topk": """
-            WITH v AS (
-                SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-            ), cents AS (
-                SELECT vec_id AS cid, v AS centroid FROM v WHERE vec_id < 8
-            ), cassign AS (
-                SELECT v.vec_id, v.v, c.cid,
-                       round(list_dot_product(v.v, c.centroid) /
-                             (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS ccos
-                FROM v CROSS JOIN cents c
-            ), cranked AS (
-                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS crank
-                FROM cassign
-            ), corpus AS (
-                SELECT vec_id AS neighbor_id, v AS cv, cid AS cell FROM cranked WHERE crank = 1
-            ), probes AS (
-                SELECT vec_id AS query_id, v AS qv, cid AS cell FROM cranked
-                WHERE crank <= 2 AND vec_id < 3
-            ), scored AS (
-                SELECT p.query_id, c.neighbor_id,
-                       round(list_dot_product(p.qv, c.cv) /
-                             (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
-                FROM probes p JOIN corpus c ON c.cell = p.cell AND c.neighbor_id <> p.query_id
-            ), ranked AS (
-                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-                FROM scored
-            )
-            SELECT query_id, neighbor_id, cos, rank::INT AS rank FROM ranked
-            WHERE rank <= 5 ORDER BY query_id, rank
-        """,
+        "ivf_topk": _ann.ivf_topk_oracle_sql(
+            k=5, n_cells=8, nprobe=2, lloyd_rounds=3
+        ),
         "tumbling_counts": """
             SELECT time_bucket(INTERVAL '60 minutes', ts) AS window_start,
                    event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS total_value

@@ -133,7 +133,11 @@ def test_ivf_topk_precision_and_cells(vecs):
     query's nprobe probed cells (the IVF contract)."""
     qids = [0, 1, 2]
     queries = vecs.filter(F.col("vec_id").isin(qids))
-    got = ivf_topk(vecs, queries, k=5, n_cells=8, nprobe=2).collect()
+    # lloyd_rounds=0 = the raw lowest-id quantizer: this test pins the
+    # IVF probing CONTRACT against hand-computable centroids; the
+    # trained path is covered by the lloyd/recall tests below
+    got = ivf_topk(vecs, queries, k=5, n_cells=8, nprobe=2,
+                   lloyd_rounds=0).collect()
     pd = vecs.toPandas()
     m = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in pd.itertuples()}
 
@@ -156,6 +160,91 @@ def test_ivf_topk_precision_and_cells(vecs):
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
     assert set(by_q) == set(qids)
+
+
+def _np_lloyd(m: dict, n_cells: int, rounds: int):
+    """Independent numpy twin of lloyd_centroids (round-before-argmin
+    assignment, 6-dp per-cell means, empty cells carry)."""
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    cents = [m[vid] for vid in sorted(i for i in m if i < n_cells)]
+    for _ in range(rounds):
+        cells: dict[int, list] = {}
+        for vid, v in m.items():
+            ranked = sorted(((-cos(v, c), cid) for cid, c in enumerate(cents)))
+            cells.setdefault(ranked[0][1], []).append(v)
+        cents = [
+            np.round(np.mean(cells[cid], axis=0), 6) if cid in cells else old
+            for cid, old in enumerate(cents)
+        ]
+    return cents
+
+
+def test_lloyd_centroids_match_numpy_twin(vecs):
+    from webcrawler_spark.similarity.ann import lloyd_centroids
+
+    got = {r["cid"]: np.array(r["centroid"])
+           for r in lloyd_centroids(vecs, n_cells=8, lloyd_rounds=3).collect()}
+    pd = vecs.toPandas()
+    m = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+         for r in pd.itertuples()}
+    want = _np_lloyd(m, 8, 3)
+    assert set(got) == set(range(8))
+    for cid in range(8):
+        assert np.allclose(got[cid], want[cid], atol=2e-6), cid
+
+
+def test_ivf_trained_quantizer_objective_and_recall(spark):
+    """The k-means point: on a clustered corpus whose first 8 ids all
+    sit in ONE cluster, the lowest-id init leaves every other cluster
+    far from every centroid — the quantizer represents the corpus by id
+    accident, not structure. 3 Lloyd rounds must substantially raise the
+    spherical k-means objective (mean cosine to the assigned centroid)
+    while recall@5 under nprobe=2 stays high."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 8))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    # ids 0..7: all cluster 0 (degenerate init); ids 8..71: round-robin
+    for i in range(72):
+        c = 0 if i < 8 else i % 4
+        v = base[c] + rng.normal(scale=0.08, size=8)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    qids = [8, 9, 10, 11]
+    queries = df.filter(F.col("vec_id").isin(qids))
+    truth = {}
+    for r in brute_force_topk(df, queries, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    def objective(rounds):
+        # the spherical k-means objective: mean cosine of every vector
+        # to its assigned centroid — "how well do the cells represent
+        # the corpus", the thing Lloyd provably improves
+        cents = _np_lloyd(m, 8, rounds)
+        return float(np.mean([
+            max(cos(v, c) for c in cents) for v in m.values()
+        ]))
+
+    o0, o3 = objective(0), objective(3)
+    # untrained centroids all sit in cluster 0: other clusters' vectors
+    # are far from every centroid; training must close most of that gap
+    assert o3 > o0 + 0.1, (o0, o3)
+
+    def recall(rounds):
+        got = {}
+        for r in ivf_topk(df, queries, k=5, n_cells=8, nprobe=2,
+                          lloyd_rounds=rounds).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(q, set()) & truth[q]) for q in qids) / (
+            5 * len(qids))
+
+    assert recall(3) >= 0.8, recall(3)
 
 
 # --------------------------------------------------------------------------
