@@ -1529,69 +1529,23 @@ def _q_model_quality_trained(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the round driver checks the FIRST 50 entries only
-    # (CORRECTNESS_r01/02/03 = 27/33/50 rows). Newest oracle-green
-    # operators lead, flagship mid-generation entries fill the window,
-    # early-round cheap re-verifications (all green in r1-r3 records and
-    # re-proven by tools/check_contract.py + the pytest suite) follow,
-    # and by-design rows-only entries sit last.
+    # (CORRECTNESS_r01/02/03/04 = 27/33/50/50 rows). ROTATION POLICY
+    # (round-4 review order #8): the window rotates so every SQL query
+    # refreshes a driver-green row at least every other round —
+    # CORRECTNESS_r05 ∪ r04 covers all of them. This round the window
+    # holds: (a) the round-5 additions and behavior-changed queries,
+    # (b) the 22 early-round entries r04 parked behind the window,
+    # (c) the iterative/flagship mid-band. Entries parked behind the
+    # window THIS round were all driver-green in CORRECTNESS_r04 and
+    # stay covered every run by tools/check_contract.py + pytest.
     return {
-        # --- newest operators (round 3-4 additions), oracle-green ---
-        "bpe_merges": _q_bpe_merges,
-        "bpe_segment": _q_bpe_segment,
-        "bpe_encode": _q_bpe_encode,
-        "model_quality": _q_model_quality,
+        # --- round-5 additions + behavior-changed queries ---
         "model_quality_trained": _q_model_quality_trained,
-        "pagerank": _q_pagerank,
-        "cocitation": _q_cocitation,
-        "pair_funnel": _q_pair_funnel,
-        "wds_plan": _q_wds_plan,
-        "wds_manifest": _q_wds_manifest,
-        "patch_pack": _q_patch_pack,
-        "gopher_quality": _q_gopher_quality,
-        "repetition_signals": _q_repetition_signals,
-        "collocations": _q_collocations,
-        "line_dedup": _q_line_dedup,
-        "span_dedup": _q_span_dedup,
-        "decontaminate": _q_decontaminate,
-        "pii_redact": _q_pii_redact,
-        "lm_quality": _q_lm_quality,
-        "dsir_weights": _q_dsir_weights,
-        "domain_cap": _q_domain_cap,
-        "domain_mixture": _q_domain_mixture,
-        "mixture_sample": _q_mixture_sample,
-        "url_gates": _q_url_gates,
-        "caption_dedup": _q_caption_dedup,
-        "resize_plan": _q_resize_plan,
-        "aspect_batches": _q_aspect_batches,
-        "pair_curation_meta": _q_pair_curation_meta,
-        "pair_alignment": _q_pair_alignment,
-        "cross_modal_topk": _q_cross_modal_topk,
-        # --- flagship mid-generation operators, oracle-green ---
-        "first_writer_dedup": _q_first_writer_dedup,
-        "pricing_summary": _q_tpch_q1,
-        "search_scores": _q_search,
-        "bm25": _q_bm25,
-        "minhash_signatures": _q_minhash_signatures,
-        "simhash": _q_simhash,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_survivors": _q_dedup_survivors,
-        "embedding_neardup_pairs": _q_embedding_neardup,
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
-        "semantic_dedup": _q_semantic_dedup,
-        "ann_topk": _q_ann_topk,
-        "ivf_topk": _q_ivf_topk,
-        "incremental_ann": _q_incremental_ann,
-        "extraction_golden": _q_extraction_golden,
-        "extraction_mode_a": _q_extraction_mode_a,
-        "corpus_curation": _q_corpus_curation,
-        "train_split": _q_train_split,
-        "shard_plan": _q_shard_plan,
-        "sequence_pack": _q_sequence_pack,
-        "bpe_pairs": _q_bpe_pairs,
-        # ------- driver's 50-row CORRECTNESS window ends here -------
-        # --- early-round entries: driver-green in r1-r3 records, and
-        #     re-proven every run by tools/check_contract.py + pytest ---
+        "bpe_encode": _q_bpe_encode,
+        "ivf_topk": _q_ivf_topk,          # k-means-trained this round
+        "pair_funnel": _q_pair_funnel,    # cache-lifecycle change
+        "audio_quality": _q_audio_quality,  # rows-only (PCM decode)
+        # --- rotated back in: the 22 entries r04 parked past the window ---
         "incremental_curation": _q_incremental_curation,
         "doc_summary": _q_doc_summary,
         "counts_by_type": _q_counts_by_type,
@@ -1614,6 +1568,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "token_histogram": _q_token_histogram,
         "length_quantiles": _q_length_quantiles,
+        # --- iterative/flagship mid-band ---
+        "bpe_merges": _q_bpe_merges,
+        "bpe_segment": _q_bpe_segment,
+        "model_quality": _q_model_quality,
+        "pagerank": _q_pagerank,
+        "cocitation": _q_cocitation,
+        "wds_plan": _q_wds_plan,
+        "wds_manifest": _q_wds_manifest,
+        "patch_pack": _q_patch_pack,
+        "first_writer_dedup": _q_first_writer_dedup,
+        "pricing_summary": _q_tpch_q1,
+        "search_scores": _q_search,
+        "bm25": _q_bm25,
+        "minhash_signatures": _q_minhash_signatures,
+        "simhash": _q_simhash,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_survivors": _q_dedup_survivors,
+        "embedding_neardup_pairs": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "semantic_dedup": _q_semantic_dedup,
+        "ann_topk": _q_ann_topk,
+        "incremental_ann": _q_incremental_ann,
+        "extraction_golden": _q_extraction_golden,
+        # ------- driver's 50-row CORRECTNESS window ends here -------
+        # --- parked this round (ALL driver-green in CORRECTNESS_r04;
+        #     re-proven every run by tools/check_contract.py + pytest) ---
+        "gopher_quality": _q_gopher_quality,
+        "repetition_signals": _q_repetition_signals,
+        "collocations": _q_collocations,
+        "line_dedup": _q_line_dedup,
+        "span_dedup": _q_span_dedup,
+        "decontaminate": _q_decontaminate,
+        "pii_redact": _q_pii_redact,
+        "lm_quality": _q_lm_quality,
+        "dsir_weights": _q_dsir_weights,
+        "domain_cap": _q_domain_cap,
+        "domain_mixture": _q_domain_mixture,
+        "mixture_sample": _q_mixture_sample,
+        "url_gates": _q_url_gates,
+        "caption_dedup": _q_caption_dedup,
+        "resize_plan": _q_resize_plan,
+        "aspect_batches": _q_aspect_batches,
+        "pair_curation_meta": _q_pair_curation_meta,
+        "pair_alignment": _q_pair_alignment,
+        "cross_modal_topk": _q_cross_modal_topk,
+        "extraction_mode_a": _q_extraction_mode_a,
+        "corpus_curation": _q_corpus_curation,
+        "train_split": _q_train_split,
+        "shard_plan": _q_shard_plan,
+        "sequence_pack": _q_sequence_pack,
+        "bpe_pairs": _q_bpe_pairs,
         # --- by-design rows-only (bytes/crawl pipelines; no SQL oracle,
         #     each anchored by pytest invariants instead) ---
         "crawl_pages": _q_crawl_pages,
@@ -1622,7 +1628,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_pairs": _q_image_caption_pairs,
         "image_phash_neardup": _q_image_phash_neardup,
         "image_quality": _q_image_quality,
-        "audio_quality": _q_audio_quality,
         "pair_curation": _q_pair_curation,
     }
 
