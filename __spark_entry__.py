@@ -1004,6 +1004,29 @@ def _q_audio_quality(spark, sf):
     )
 
 
+def _q_video_frames(spark, sf):
+    # REAL uncompressed RIFF AVI decode (pure-stdlib chunk walker — DIB
+    # frames, bottom-up/BGR/row-padding honored) + frame sampling with
+    # per-frame mean luminance over a deterministic synthesized AVI
+    # corpus (gray + RGB + the WCVI fake-codec stream mixed in) —
+    # rows-only (no SQL oracle can parse DIB); semantics pinned by
+    # tests/test_video.py (hand-built golden byte layout + luma twin)
+    from webcrawler_spark.multimodal.av import (
+        sample_frames,
+        synth_avi,
+        synth_video,
+    )
+
+    clips = [
+        (f"vid{i:03d}",
+         synth_video(i) if i % 3 == 2
+         else synth_avi(i, frames=8, rgb=(i % 2 == 1)))
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(clips, "video_id string, bytes binary")
+    return sample_frames(df, every_n=4).orderBy("video_id", "frame_idx")
+
+
 def _wds_synth_pairs(spark, sf):
     """Non-null-caption synth pairs with a deterministic SQL-computable
     image byte length (54-byte-header 24-bit raw bitmap: 54 + 3*w*h) —
@@ -1628,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_pairs": _q_image_caption_pairs,
         "image_phash_neardup": _q_image_phash_neardup,
         "image_quality": _q_image_quality,
+        "video_frames": _q_video_frames,
         "pair_curation": _q_pair_curation,
     }
 

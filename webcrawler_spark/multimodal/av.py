@@ -12,12 +12,19 @@ loudness, clip fraction, silence fraction — the multimodal/quality.py
 pattern for the audio axis), vectorized per clip inside one Arrow
 ``mapInPandas`` stage.
 
-Compressed formats (mp3/ogg/flac) and all video containers still raise
-``NotImplementedError`` — those genuinely need codec libraries absent
-from this container; the deterministic WCAU/WCVI fake codecs keep the
-downstream plumbing testable end-to-end, and a production deployment
-swaps ``decode_audio``/``decode_video`` bodies for ffmpeg/torchaudio
-without touching anything else.
+Video likewise decodes FOR REAL for the one container that needs no
+codec library: uncompressed RIFF AVI (BI_RGB 'DIB ' frames — the
+public Microsoft AVI/BITMAPINFOHEADER format; 8-bit palette-gray or
+24-bit BGR, bottom-up rows padded to 4 bytes) via the same chunk
+walker, so ``sample_frames`` runs over genuine interchange bytes.
+
+Compressed formats (mp3/ogg/flac; any AVI with a real codec fourcc;
+mp4/webm) still raise ``NotImplementedError`` — those genuinely need
+codec libraries absent from this container; the deterministic
+WCAU/WCVI fake codecs keep the downstream plumbing testable
+end-to-end, and a production deployment swaps
+``decode_audio``/``decode_video`` bodies for ffmpeg/torchaudio without
+touching anything else.
 """
 
 from __future__ import annotations
@@ -116,10 +123,133 @@ def encode_video_fake(frames: np.ndarray, fps: int) -> bytes:
     return VIDEO_MAGIC + struct.pack("<IIII", fps, n, h, w) + frames.tobytes()
 
 
+def _avi_chunk(cid: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return cid + struct.pack("<I", len(body)) + body + pad
+
+
+def _avi_list(ltype: bytes, body: bytes) -> bytes:
+    return _avi_chunk(b"LIST", ltype + body)
+
+
+def encode_avi(frames: np.ndarray, fps: int) -> bytes:
+    """REAL uncompressed RIFF AVI encode, pure stdlib: frames (n, h, w)
+    uint8 grayscale (8-bit + gray palette) or (n, h, w, 3) uint8 RGB
+    (24-bit) → BI_RGB 'DIB ' video stream with '00db' frames, bottom-up
+    rows padded to 4 bytes, BGR byte order per the DIB spec."""
+    assert frames.dtype == np.uint8 and frames.ndim in (3, 4)
+    gray = frames.ndim == 3
+    n, h, w = frames.shape[:3]
+    bits = 8 if gray else 24
+    row_bytes = (w * (bits // 8) + 3) & ~3
+    frame_bytes = row_bytes * h
+
+    def dib(frame: np.ndarray) -> bytes:
+        rows = []
+        for y in range(h - 1, -1, -1):            # bottom-up row order
+            row = (frame[y] if gray else frame[y, :, ::-1]).tobytes()
+            rows.append(row.ljust(row_bytes, b"\x00"))
+        return b"".join(rows)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_bytes * fps, 0, 0,
+        n, 0, 1, frame_bytes, w, h, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps, 0, n, frame_bytes, 0xFFFFFFFF, 0,
+        0, 0, w, h)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bits, 0, frame_bytes, 0, 0,
+        256 if gray else 0, 0)
+    if gray:
+        strf += b"".join(bytes((i, i, i, 0)) for i in range(256))
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", avih)
+        + _avi_list(b"strl", _avi_chunk(b"strh", strh)
+                    + _avi_chunk(b"strf", strf)),
+    )
+    movi = _avi_list(
+        b"movi", b"".join(_avi_chunk(b"00db", dib(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(data: bytes) -> tuple[np.ndarray, int]:
+    """REAL uncompressed RIFF AVI decode, pure stdlib chunk walker:
+    → (frames uint8 — (n, h, w) for 8-bit, (n, h, w, 3) RGB for 24-bit,
+    rows re-flipped top-down and BGR→RGB — and fps = rate // scale).
+    Any compressed video fourcc raises — the production codec seam."""
+    if data[:4] != RIFF_MAGIC or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    dims: list = [None]           # (w, h, bits)
+    timing: list = [None]         # (scale, rate)
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos:pos + 4]
+            size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+            body = buf[pos + 8:pos + 8 + size]
+            if len(body) < size:
+                break             # truncated chunk → error below
+            if cid == b"LIST":
+                walk(body[4:])
+            elif cid == b"strh" and body[:4] == b"vids":
+                if body[4:8] not in (b"DIB ", b"\x00\x00\x00\x00"):
+                    raise NotImplementedError(
+                        f"AVI video codec {body[4:8]!r} needs a codec "
+                        "library; only uncompressed DIB decodes here — "
+                        "swap decode_video with ffmpeg in production")
+                timing[0] = struct.unpack("<II", body[20:28])
+            elif cid == b"strf" and dims[0] is None and len(body) >= 20:
+                _sz, bw, bh, _pl, bc, comp = struct.unpack("<IiiHHI", body[:20])
+                if comp != 0:
+                    raise NotImplementedError(
+                        "compressed BITMAPINFO (biCompression != BI_RGB)")
+                if bc not in (8, 24):
+                    raise NotImplementedError(f"{bc}-bit DIB unsupported")
+                dims[0] = (bw, abs(bh), bc)
+            elif cid == b"00db":
+                frames.append(body)
+            pos += 8 + size + (size & 1)   # chunks pad to even offsets
+
+    walk(data[12:])
+    if dims[0] is None or not frames:
+        raise ValueError("AVI stream has no uncompressed video frames")
+    w, h, bits = dims[0]
+    row_bytes = (w * (bits // 8) + 3) & ~3
+    out = []
+    for body in frames:
+        rows = []
+        for y in range(h):
+            off = (h - 1 - y) * row_bytes
+            row = np.frombuffer(body[off:off + row_bytes], dtype=np.uint8)
+            rows.append(row[:w] if bits == 8
+                        else row[: w * 3].reshape(w, 3)[:, ::-1])
+        out.append(np.stack(rows))
+    scale, rate = timing[0] or (0, 0)
+    return np.stack(out), int(rate // scale) if scale else 0
+
+
 def decode_video(data: bytes) -> tuple[np.ndarray, int]:
+    """→ ((n, h, w) uint8 grayscale frames, fps). Uncompressed AVI
+    decodes for real (24-bit frames reduced by integer BT.601 luma —
+    (299R + 587G + 114B) // 1000, deterministic); codec'd containers
+    raise — the clearly-marked production swap point."""
     if data[:4] == VIDEO_MAGIC:
         fps, n, h, w = struct.unpack("<IIII", data[4:20])
         return np.frombuffer(data[20:20 + n * h * w], dtype=np.uint8).reshape(n, h, w), fps
+    if data[:4] == RIFF_MAGIC and data[8:12] == b"AVI ":
+        frames, fps = parse_avi(data)
+        if frames.ndim == 4:
+            rgb = frames.astype(np.int32)
+            frames = ((299 * rgb[..., 0] + 587 * rgb[..., 1]
+                       + 114 * rgb[..., 2]) // 1000).astype(np.uint8)
+        return frames, fps
     raise NotImplementedError(
         "real video codecs (mp4/webm) unavailable in this container; "
         "swap decode_video with ffmpeg in production"
@@ -250,6 +380,17 @@ def synth_video(seed: int, frames: int = 16, h: int = 24, w: int = 32, fps: int 
     base = rng.integers(0, 255, (h, w), dtype=np.uint8)
     stack = np.stack([np.roll(base, i, axis=1) for i in range(frames)])
     return encode_video_fake(stack, fps)
+
+
+def synth_avi(seed: int, frames: int = 8, h: int = 12, w: int = 18,
+              fps: int = 6, rgb: bool = False) -> bytes:
+    """Deterministic REAL AVI bytes (rolling seeded pattern, gray or
+    RGB) — the AVI counterpart of synth_wav."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    base = rng.integers(0, 255, shape, dtype=np.uint8)
+    stack = np.stack([np.roll(base, i, axis=1) for i in range(frames)])
+    return encode_avi(stack, fps)
 
 
 # ---------------------------------------------------------------------------

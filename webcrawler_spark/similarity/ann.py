@@ -124,11 +124,19 @@ def lloyd_centroids(
         scored = vecs.join(F.broadcast(cdf)).withColumn(
             "ccos", F.round(cosine(F.col("v"), F.col("centroid")), 6)
         )
-        w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cid"))
+        # argmax by (ccos DESC, cid ASC) as a map-combined max(struct)
+        # aggregate — (ccos, -cid) is unique per vid, so this equals the
+        # row_number window exactly while skipping its sort shuffle
+        # (at 10^9 vectors the per-round sort is the cost that matters)
         assigned = (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") == 1)
-            .select("cid", F.posexplode("v").alias("pos", "x"))
+            scored.groupBy("vid")
+            .agg(F.max(F.struct(
+                F.col("ccos"), (-F.col("cid")).alias("ncid"), F.col("v")
+            )).alias("m"))
+            .select(
+                (-F.col("m.ncid")).cast("int").alias("cid"),
+                F.posexplode("m.v").alias("pos", "x"),
+            )
         )
         means = (
             assigned.groupBy("cid", "pos")
