@@ -1004,6 +1004,33 @@ def _q_audio_quality(spark, sf):
     )
 
 
+def _q_audio_pairs(spark, sf):
+    # the audio-axis pair funnel (speech/audio-caption ingest shape):
+    # real PCM decode + screening gates → caption gate → repeated-
+    # caption keep-LONGEST election (two-phase domain_cap on the 60-bit
+    # caption fingerprint) — one row per input pair with every stage
+    # decision; planted duplicate captions + degenerate clips keep every
+    # stage non-vacuous. Rows-only (gates read decoded PCM); semantics
+    # pinned by tests/test_audio.py
+    from webcrawler_spark.multimodal.av import audio_pair_funnel, synth_wav
+
+    kinds = ["tone", "noise", "silence", "tone"]
+    clips = [
+        (
+            f"ac{i:03d}",
+            synth_wav(i, seconds=0.3 + (i % 5) * 0.15,
+                      kind=kinds[i % 4]),
+            # every 4th caption empty; others repeat in groups of 3
+            "" if i % 4 == 3 else f"spoken caption {i // 3}",
+        )
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(
+        clips, "clip_id string, bytes binary, caption string"
+    )
+    return audio_pair_funnel(df).orderBy("clip_id")
+
+
 def _q_video_frames(spark, sf):
     # REAL uncompressed RIFF AVI decode (pure-stdlib chunk walker — DIB
     # frames, bottom-up/BGR/row-padding honored) + frame sampling with
@@ -1652,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_neardup": _q_image_phash_neardup,
         "image_quality": _q_image_quality,
         "video_frames": _q_video_frames,
+        "audio_pairs": _q_audio_pairs,
         "pair_curation": _q_pair_curation,
     }
 

@@ -183,3 +183,47 @@ def test_webdataset_carries_wav_members_byte_exactly(spark, tmp_path):
         assert back[key]["fmt"] == "wav"
         # and the member still parses as real WAV after the round-trip
         parse_wav(bytes(back[key]["bytes"]))
+
+
+def test_audio_pair_funnel_stages_and_election(spark):
+    """Planted duplicate captions: within each caption group the LONGEST
+    keep_audio clip must win; silent/clipped/empty-caption rows carry
+    their stage flags and never select."""
+    from webcrawler_spark.multimodal.av import audio_pair_funnel
+
+    clips = [
+        # caption "dup": three good tones, durations 0.3 / 0.6 / 0.45
+        ("a", synth_wav(1, seconds=0.3), "dup"),
+        ("b", synth_wav(2, seconds=0.6), "dup"),
+        ("c", synth_wav(3, seconds=0.45), "dup"),
+        # caption "solo": one good clip
+        ("d", synth_wav(4, seconds=0.4), "solo"),
+        # gate failures: silence, and a good tone with empty caption
+        ("e", synth_wav(5, kind="silence"), "dup"),
+        ("f", synth_wav(6, seconds=0.5), ""),
+    ]
+    df = spark.createDataFrame(
+        clips, "clip_id string, bytes binary, caption string")
+    got = {r["clip_id"]: r for r in audio_pair_funnel(df).collect()}
+    assert len(got) == 6  # one row per input pair
+    assert got["b"]["selected"] and got["b"]["n_dup"] == 3  # longest dup
+    assert not got["a"]["selected"] and not got["c"]["selected"]
+    assert got["d"]["selected"] and got["d"]["n_dup"] == 1
+    assert not got["e"]["keep_audio"] and not got["e"]["selected"]
+    assert got["f"]["keep_audio"] and not got["f"]["caption_ok"]
+    assert not got["f"]["selected"]
+    # silent clip e is excluded from the "dup" election (n_dup counts
+    # gate survivors only: a, b, c)
+    assert got["e"]["n_dup"] is None
+
+
+def test_audio_pairs_driver_query_nonvacuous(spark):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod._q_audio_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 48
+    sel = [r for r in rows if r["selected"]]
+    assert 0 < len(sel) < 48
+    # every selected row passed both gates; winners are unique captions
+    for r in sel:
+        assert r["keep_audio"] and r["caption_ok"]

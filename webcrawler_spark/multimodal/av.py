@@ -375,6 +375,68 @@ def wav_quality_gates(stats: DataFrame) -> DataFrame:
     )
 
 
+def audio_pair_funnel(pairs: DataFrame, shards: int = 4) -> DataFrame:
+    """The audio-axis counterpart of ``multimodal/funnel.pair_funnel``
+    for a speech/audio-caption corpus (the LAION-audio / Whisper-style
+    ingest shape): (clip_id, bytes[WAV], caption) → ONE ROW PER INPUT
+    pair carrying every stage decision —
+
+    1. real PCM decode + screening gates (``wav_quality_stats/gates``),
+    2. caption gate (non-empty),
+    3. repeated-caption keep-one: pairs sharing a normalized caption
+       fingerprint keep the LONGEST clip (ties → smaller clip_id) via
+       the same two-phase ``domain_cap(n=1)`` election the image
+       caption dedup uses (caption frequency is Zipf-skewed; no
+       exchange carries caption text, only the 60-bit fingerprint).
+
+    Output: (clip_id, sample_rate, channels, duration_s, rms,
+    keep_audio, caption_ok, n_dup, selected) — selected rows are the
+    export set (``write_webdataset`` with fmt='wav' carries them
+    byte-exactly; tested). Scale shape: one Arrow decode stage over
+    (clip_id, bytes), then narrow gates; the only shuffles are the
+    fingerprint election over gate survivors."""
+    from pyspark.sql import functions as F
+
+    from ..curation import domain_cap
+    from ..functions.text import fingerprint64
+
+    stats = wav_quality_gates(
+        wav_quality_stats(pairs.select("clip_id", "bytes"))
+    )
+    staged = stats.join(
+        pairs.select(
+            "clip_id",
+            F.when(
+                F.length(F.col("caption")) > 0,
+                fingerprint64(F.col("caption")),
+            ).alias("caption_fp"),
+        ),
+        "clip_id",
+    ).withColumn("caption_ok", F.col("caption_fp").isNotNull())
+    s1 = staged.filter(F.col("keep_audio") & F.col("caption_ok"))
+    counts = s1.groupBy("caption_fp").agg(
+        F.count("*").cast("long").alias("n_dup")
+    )
+    winners = domain_cap(
+        s1.select("clip_id", "caption_fp",
+                  F.col("duration_s").alias("quality")),
+        1,
+        domain_col="caption_fp",
+        id_col="clip_id",
+        shards=shards,
+    ).select("clip_id").join(counts.join(
+        s1.select("clip_id", "caption_fp"), "caption_fp"
+    ).select("clip_id", "n_dup"), "clip_id")
+    return (
+        staged.join(winners, "clip_id", "left")
+        .withColumn("selected", F.col("n_dup").isNotNull())
+        .select(
+            "clip_id", "sample_rate", "channels", "duration_s", "rms",
+            "keep_audio", "caption_ok", "n_dup", "selected",
+        )
+    )
+
+
 def synth_video(seed: int, frames: int = 16, h: int = 24, w: int = 32, fps: int = 8) -> bytes:
     rng = np.random.default_rng(seed)
     base = rng.integers(0, 255, (h, w), dtype=np.uint8)
